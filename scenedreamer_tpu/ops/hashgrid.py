@@ -1,0 +1,168 @@
+"""Multiresolution hash-grid encoding (Instant-NGP style).
+
+Contract parity with the reference CUDA gridencoder
+(`gridencoder/src/gridencoder.cu` + `gridencoder/grid.py`):
+
+  * per-level scale  = exp2(level * log2(per_level_scale)) * H - 1
+    resolution       = ceil(scale) + 1                       (cu:126-127)
+  * corner index     = tiled (row-major with stride capped at
+    hashmap_size) or `fast_hash` xor-of-primes when the level
+    overflows the table (cu:35-72)
+  * table layout     = one [total, C] array with per-level offsets,
+    min(2^log2_hashmap_size, (res[+1])^D) entries rounded up to 8
+    (grid.py:113-123); init uniform(-1e-4, 1e-4) (grid.py:133-135)
+  * inputs in [0, 1]; out-of-bound points produce zeros (cu:98-123)
+
+TPU-native design: the forward is expressed as vectorized uint32 hashing +
+XLA gathers + lerps. Both the table gradient (scatter-add; deterministic on
+TPU, unlike the CUDA atomicAdd) and the input gradient (needed because the
+last 2 input dims carry the trainable scene code) come from XLA autodiff —
+no custom VJP needed. `jax.checkpoint` around the caller keeps the 2^D
+gathered corner values out of the residual set when memory matters.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# While 1 is not a good hash prime, it preserves memory coherence in dim 0
+# (same rationale and constants as Instant-NGP / the reference, cu:42).
+_PRIMES = np.array([1, 2654435761, 805459861, 3674653429, 2097192037,
+                    1434869437, 2165219737], dtype=np.uint32)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    per_level_scale: float = 2.0
+    gridtype: str = 'hash'          # 'hash' | 'tiled'
+    align_corners: bool = False
+
+    @staticmethod
+    def create(input_dim=3, num_levels=16, level_dim=2, base_resolution=16,
+               log2_hashmap_size=19, desired_resolution=None,
+               per_level_scale=2.0, gridtype='hash', align_corners=False):
+        if desired_resolution is not None:
+            per_level_scale = float(np.exp2(
+                np.log2(desired_resolution / base_resolution)
+                / (num_levels - 1)))
+        return HashGridSpec(input_dim, num_levels, level_dim,
+                            base_resolution, log2_hashmap_size,
+                            float(per_level_scale), gridtype, align_corners)
+
+    @property
+    def max_params(self):
+        return 2 ** self.log2_hashmap_size
+
+    @property
+    def output_dim(self):
+        return self.num_levels * self.level_dim
+
+    def level_resolution(self, level):
+        scale = np.exp2(level * np.log2(self.per_level_scale)) \
+            * self.base_resolution - 1.0
+        return int(np.ceil(scale)) + 1, float(scale)
+
+    def offsets(self):
+        """Per-level start offsets into the flat table (reference
+        grid.py:113-123)."""
+        offs, off = [], 0
+        for lv in range(self.num_levels):
+            res, _ = self.level_resolution(lv)
+            side = res if self.align_corners else res + 1
+            n = min(self.max_params, side ** self.input_dim)
+            n = int(np.ceil(n / 8) * 8)
+            offs.append(off)
+            off += n
+        offs.append(off)
+        return np.array(offs, dtype=np.int64)
+
+    @property
+    def table_size(self):
+        return int(self.offsets()[-1])
+
+
+def init_hashgrid_table(key, spec, dtype=jnp.float32):
+    return jax.random.uniform(key, (spec.table_size, spec.level_dim),
+                              dtype=dtype, minval=-1e-4, maxval=1e-4)
+
+
+def _corner_bits(d):
+    idx = np.arange(2 ** d, dtype=np.uint32)
+    return ((idx[:, None] >> np.arange(d, dtype=np.uint32)[None, :]) & 1)
+
+
+def _level_encode(spec, table_level, x, level):
+    """Encode one level. x: [N, D] in [0,1]. Returns [N, C]."""
+    d = spec.input_dim
+    res, scale = spec.level_resolution(level)
+    hashmap_size = table_level.shape[0]
+
+    pos = x * scale + (0.0 if spec.align_corners else 0.5)
+    pos_grid = jnp.floor(pos)
+    frac = pos - pos_grid
+    pos_grid = pos_grid.astype(jnp.uint32)
+
+    bits = _corner_bits(d)                                   # [2^D, D]
+    bits_j = jnp.asarray(bits, jnp.uint32)
+    corner = pos_grid[..., None, :] + bits_j                 # [N, 2^D, D]
+
+    # interpolation weights
+    w = jnp.where(bits_j[None].astype(bool), frac[..., None, :],
+                  1.0 - frac[..., None, :])
+    w = jnp.prod(w, axis=-1)                                 # [N, 2^D]
+
+    # tiled (row-major) index, with the stride cap of the reference
+    side = np.uint64(res if spec.align_corners else res + 1)
+    stride = np.uint64(1)
+    idx = jnp.zeros(corner.shape[:-1], jnp.uint32)
+    overflow = False
+    for dd in range(d):
+        if stride > np.uint64(hashmap_size):
+            overflow = True
+            break
+        idx = idx + corner[..., dd] * jnp.uint32(stride)
+        stride *= side
+    if stride > np.uint64(hashmap_size):
+        overflow = True
+    if spec.gridtype == 'hash' and overflow:
+        h = jnp.zeros(corner.shape[:-1], jnp.uint32)
+        for dd in range(d):
+            h = h ^ (corner[..., dd] * jnp.uint32(_PRIMES[dd]))
+        idx = h
+    idx = (idx % jnp.uint32(hashmap_size)).astype(jnp.int32)
+
+    vals = jnp.take(table_level, idx, axis=0)                # [N, 2^D, C]
+    return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+
+
+def hashgrid_encode(spec, table, x, bound=1.0):
+    """Encode points.
+
+    Args:
+        spec: HashGridSpec.
+        table: [table_size, level_dim] parameter array.
+        x: [..., input_dim] coordinates in [-bound, bound].
+
+    Returns:
+        [..., num_levels * level_dim] features; zero for out-of-bound points.
+    """
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, spec.input_dim)
+    x01 = (x + bound) / (2.0 * bound)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True)
+
+    offs = spec.offsets()
+    outs = []
+    for lv in range(spec.num_levels):
+        tl = jax.lax.slice_in_dim(table, int(offs[lv]), int(offs[lv + 1]),
+                                  axis=0)
+        outs.append(_level_encode(spec, tl, x01, lv))
+    out = jnp.concatenate(outs, axis=-1)
+    out = jnp.where(oob, 0.0, out)
+    return out.reshape(*prefix, spec.output_dim)
