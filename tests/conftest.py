@@ -1,15 +1,24 @@
 """Test config: run everything on CPU with 8 virtual devices so sharding
-and collective logic is exercised without a TPU pod (SURVEY.md section 4)."""
-import os
+and collective logic is exercised without a TPU pod (SURVEY.md section 4).
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+The container's sitecustomize eagerly imports jax and registers the axon
+TPU tunnel backend in every interpreter, so env vars alone are too late;
+we switch the platform via jax.config and reset any initialized backends.
+"""
+import numpy as np
+import pytest
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+import jax
+from jax._src import xla_bridge
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
+try:
+    xla_bridge._clear_backends()
+except Exception:
+    pass
+assert jax.devices()[0].platform == 'cpu'
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture
