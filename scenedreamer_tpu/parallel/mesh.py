@@ -1,0 +1,97 @@
+"""Device mesh + sharding rules for multi-chip training and rendering.
+
+Capability parity with the reference's distributed layer
+(`imaginaire/utils/distributed.py:12-117` NCCL DDP +
+`utils/trainer.py:205-236` DistributedDataParallel wrap), rebuilt the
+TPU way: instead of per-process NCCL allreduce hooks, we lay out a
+`jax.sharding.Mesh` with two axes —
+
+  * `data` — batch data parallelism (the reference's only parallel dim:
+    DistributedSampler + DDP gradient allreduce).
+  * `rays` — spatial ray/tile parallelism: rows of the pixel grid are
+    sharded across chips. This is the TPU-native version of the
+    reference's sequential tile loop at inference
+    (`generators/scenedreamer.py:600-628`) — the "sequence parallel"
+    axis of this workload (SURVEY §5). XLA GSPMD inserts the halo
+    exchanges the render CNN needs at tile borders.
+
+Parameters are replicated; batches are sharded `P('data', 'rays')` on
+(batch, image-rows). Gradient allreduce is emitted by XLA inside the
+jitted train step (psum over `data`) and overlapped with the backward
+pass by the latency-hiding scheduler — no explicit collectives in model
+code.
+
+Multi-host: `jax.distributed.initialize()` + the same mesh over all
+devices; `jax.make_array_from_process_local_data` builds the global
+batch from host-local shards.
+"""
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# batch keys that carry an image-row axis at dim 1 (shardable on 'rays')
+_RAY_KEYS = ('voxel_id', 'depth', 'hit_mask', 'raydirs', 'images',
+             'pseudo_real_img', 'fake_masks', 'real_masks')
+# batch keys that are per-sample only (batch axis only)
+_BATCH_ONLY_KEYS = ('cam_ori', 'height_field', 'semantic_field', 'z')
+
+
+def make_mesh(data: Optional[int] = None, rays: int = 1, devices=None):
+    """Build a ('data', 'rays') mesh over the available devices."""
+    devices = list(jax.devices() if devices is None else devices)
+    n = len(devices)
+    if data is None:
+        if n % rays:
+            raise ValueError(f'{n} devices not divisible by rays={rays}')
+        data = n // rays
+    arr = mesh_utils.create_device_mesh((data, rays),
+                                        devices=devices[:data * rays])
+    return Mesh(arr, ('data', 'rays'))
+
+
+def init_distributed():
+    """Multi-host init (reference `init_dist`,
+    `utils/distributed.py:12-18`). No-op when running single-process."""
+    if os.environ.get('JAX_COORDINATOR_ADDRESS'):
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
+
+
+def batch_spec(key, ndim, shard_rays=True):
+    """PartitionSpec for one batch entry."""
+    if key in _BATCH_ONLY_KEYS or ndim < 2 or not shard_rays:
+        return P(*(('data',) + (None,) * (ndim - 1)))
+    return P(*(('data', 'rays') + (None,) * (ndim - 2)))
+
+
+def shard_batch(mesh, batch, shard_rays=True):
+    """Place a host batch dict onto the mesh with DP(+rays) sharding."""
+    out = {}
+    for k, v in batch.items():
+        spec = batch_spec(k, np.ndim(v), shard_rays)
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def replicate(mesh, tree):
+    """Fully replicate a pytree (params / optimizer state) on the mesh."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, 'shape') else x,
+        tree)
+
+
+def global_batch_from_local(mesh, local_batch, shard_rays=False):
+    """Multi-host: assemble a global jax.Array batch from each process's
+    host-local shard (replaces DistributedSampler,
+    `utils/dataset.py:53`)."""
+    out = {}
+    for k, v in local_batch.items():
+        spec = batch_spec(k, np.ndim(v), shard_rays)
+        out[k] = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(v))
+    return out

@@ -1,0 +1,308 @@
+"""GAN training engine: alternating discriminator/generator updates.
+
+Capability parity with the reference training engine
+(`imaginaire/trainers/base.py:676-816` gen_update/dis_update,
+`imaginaire/trainers/gancraft.py:158-251` gen_forward/dis_forward):
+  * dis step: frozen-G forward, N+1 GAN loss on (fake, real) and
+    (fake, pseudo-real) pairs, weights gan=0.5 / pseudo_gan=0.5
+  * gen step: GAN + PGAN (same fake-vs-real objective applied twice),
+    optional FeatureMatching vs pseudo-real D features, Gaussian KL on
+    the style VAE, VGG19 perceptual + L2 vs the pseudo ground truth
+  * optional global-norm gradient clipping and skip-on-nonfinite
+    (`trainers/base.py:702-733`)
+  * EMA model averaging (`imaginaire/utils/model_average.py:35`,
+    disabled by the shipped config `scenedreamer_train.yaml:9-10`)
+  * orbax checkpoint save/load with a `latest_checkpoint.txt` pointer
+    (`trainers/base.py:236-325,943-982`)
+
+TPU-native design: each update is ONE jitted pure function
+`(state, batch, key) -> (state, metrics)` — model forward, loss,
+backward, optimizer update, and EMA all fuse into a single XLA
+executable; no Python in the hot path. Spectral-norm power-iteration
+state is threaded explicitly through the D update (the reference relies
+on torch pre-forward hooks). Batches are expected NHWC, already
+device-resident.
+"""
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from scenedreamer_tpu.train import losses as L
+from scenedreamer_tpu.train import optim
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    g_params: Any
+    g_opt: Any
+    d_params: Any
+    d_stats: Any              # spectral norm power-iteration vectors
+    d_opt: Any
+    g_ema: Optional[Any] = None
+
+
+@struct.dataclass
+class TrainerConfig:
+    loss_weights: Any = struct.field(
+        pytree_node=False, default_factory=lambda: dict(
+            L.DEFAULT_LOSS_WEIGHTS))
+    use_feature_matching: bool = struct.field(pytree_node=False,
+                                              default=False)
+    grad_clip_norm: float = struct.field(pytree_node=False, default=0.0)
+    skip_nonfinite_grads: bool = struct.field(pytree_node=False,
+                                              default=True)
+    ema_beta: float = struct.field(pytree_node=False, default=0.0)
+
+
+def _clip_and_validate(grads, cfg):
+    """Optional global-norm clip + nonfinite-skip mask
+    (`trainers/base.py:702-733`). Returns (grads, ok_scalar, gnorm)."""
+    gnorm = optax.global_norm(grads)
+    if cfg.grad_clip_norm > 0:
+        scale = jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6))
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    ok = jnp.isfinite(gnorm)
+    if cfg.skip_nonfinite_grads:
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+    return grads, ok, gnorm
+
+
+def _apply_update(params, opt_state, grads, tx, ok):
+    updates, new_opt = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    # on skipped (nonfinite) steps keep params and optimizer state
+    new_params = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o), new_params, params)
+    new_opt = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o) if isinstance(n, jnp.ndarray)
+        else n, new_opt, opt_state)
+    return new_params, new_opt
+
+
+class GANTrainer:
+    """Builds jitted dis/gen steps around a generator + discriminator
+    pair. The generator must follow `SceneDreamerGenerator`'s calling
+    convention; the discriminator `GANcraftDiscriminator`'s."""
+
+    def __init__(self, generator, discriminator, voxel_dims,
+                 cfg: TrainerConfig = TrainerConfig(),
+                 perceptual: Optional[L.PerceptualLoss] = None,
+                 g_tx=None, d_tx=None, iters_per_epoch=1000):
+        self.gen = generator
+        self.dis = discriminator
+        self.voxel_dims = tuple(int(d) for d in voxel_dims)
+        self.cfg = cfg
+        self.perceptual = perceptual
+        self.g_tx = g_tx
+        self.d_tx = d_tx if d_tx is not None else \
+            optim.make_discriminator_optimizer(
+                iters_per_epoch=iters_per_epoch)
+        self._iters_per_epoch = iters_per_epoch
+        self._dis_step_j = None
+        self._gen_step_j = None
+
+    # ------------------------------------------------------------------
+    def init_state(self, key, sample_batch):
+        kg, kd = jax.random.split(key)
+        g_vars = self.gen.init({'params': kg}, sample_batch,
+                               self.voxel_dims, kg, random_style=False)
+        fake = {'fake_images': sample_batch['pseudo_real_img']}
+        d_vars = self.dis.init({'params': kd}, sample_batch, fake,
+                               incl_real=False, incl_pseudo_real=False)
+        d_params = d_vars['params']
+        d_stats = d_vars.get('spectral_stats', {})
+        if self.g_tx is None:
+            self.g_tx = optim.make_generator_optimizer(
+                g_vars['params'], iters_per_epoch=self._iters_per_epoch)
+        ema = jax.tree_util.tree_map(jnp.copy, g_vars['params']) \
+            if self.cfg.ema_beta > 0 else None
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_vars['params'], g_opt=self.g_tx.init(g_vars['params']),
+            d_params=d_params, d_stats=d_stats,
+            d_opt=self.d_tx.init(d_params), g_ema=ema)
+
+    # ------------------------------------------------------------------
+    def _gen_apply(self, g_params, batch, key):
+        return self.gen.apply({'params': g_params}, batch, self.voxel_dims,
+                              key, random_style=False)
+
+    def _dis_apply(self, d_params, d_stats, batch, g_out, incl_real,
+                   incl_pseudo_real, update_stats):
+        variables = {'params': d_params, 'spectral_stats': d_stats}
+        if update_stats:
+            out, mut = self.dis.apply(
+                variables, batch, g_out, incl_real=incl_real,
+                incl_pseudo_real=incl_pseudo_real, update_stats=True,
+                mutable=['spectral_stats'])
+            return out, mut['spectral_stats']
+        out = self.dis.apply(variables, batch, g_out, incl_real=incl_real,
+                             incl_pseudo_real=incl_pseudo_real,
+                             update_stats=False)
+        return out, d_stats
+
+    # ------------------------------------------------------------------
+    def dis_step(self, state, batch, key):
+        """Discriminator update (`gancraft.py:206-251`), jit-compiled on
+        first call with the state donated (in-place buffer reuse)."""
+        if self._dis_step_j is None:
+            self._dis_step_j = jax.jit(self._dis_step, donate_argnums=0)
+        return self._dis_step_j(state, batch, key)
+
+    def _dis_step(self, state, batch, key):
+        w = self.cfg.loss_weights
+        g_out = self._gen_apply(state.g_params, batch, key)
+        g_out = jax.lax.stop_gradient(
+            {'fake_images': g_out['fake_images']})
+
+        def loss_fn(d_params):
+            d_out, new_stats = self._dis_apply(
+                d_params, state.d_stats, batch, g_out,
+                incl_real='gan' in w, incl_pseudo_real='pseudo_gan' in w,
+                update_stats=True)
+            total = 0.0
+            m = {}
+            if 'gan' in w:
+                fake_l = L.gan_loss(d_out['fake_outputs'], False, True)
+                real_l = L.gan_loss(d_out['real_outputs'], True, True)
+                m['dis/gan_fake'], m['dis/gan_real'] = fake_l, real_l
+                total += w['gan'] * (fake_l + real_l)
+            if 'pseudo_gan' in w:
+                fake_l = L.gan_loss(d_out['fake_outputs'], False, True)
+                preal_l = L.gan_loss(d_out['pseudo_real_outputs'], True,
+                                     True)
+                m['dis/pgan_fake'], m['dis/pgan_real'] = fake_l, preal_l
+                total += w['pseudo_gan'] * (fake_l + preal_l)
+            m['dis/total'] = total
+            return total, (m, new_stats)
+
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.d_params)
+        grads, ok, gnorm = _clip_and_validate(grads, self.cfg)
+        metrics['dis/grad_norm'] = gnorm
+        new_params, new_opt = _apply_update(state.d_params, state.d_opt,
+                                            grads, self.d_tx, ok)
+        return state.replace(d_params=new_params, d_opt=new_opt,
+                             d_stats=new_stats), metrics
+
+    # ------------------------------------------------------------------
+    def gen_step(self, state, batch, key):
+        """Generator update (`gancraft.py:158-204`), jit-compiled on
+        first call with the state donated."""
+        if self._gen_step_j is None:
+            self._gen_step_j = jax.jit(self._gen_step, donate_argnums=0)
+        return self._gen_step_j(state, batch, key)
+
+    def _gen_step(self, state, batch, key):
+        w = self.cfg.loss_weights
+        incl_preal = self.cfg.use_feature_matching
+
+        def loss_fn(g_params):
+            g_out = self._gen_apply(g_params, batch, key)
+            total = 0.0
+            m = {}
+            if 'gan' in w or 'pseudo_gan' in w:
+                d_out, _ = self._dis_apply(
+                    state.d_params, state.d_stats, batch, g_out,
+                    incl_real=False, incl_pseudo_real=incl_preal,
+                    update_stats=False)
+                gl = L.gan_loss(d_out['fake_outputs'], True,
+                                dis_update=False)
+                if 'gan' in w:
+                    m['gen/gan'] = gl
+                    total += w['gan'] * gl
+                if 'pseudo_gan' in w:
+                    m['gen/pgan'] = gl
+                    total += w['pseudo_gan'] * gl
+                if incl_preal:
+                    fm = L.feature_matching_loss(
+                        d_out['fake_features'],
+                        d_out['pseudo_real_features'])
+                    m['gen/feature_matching'] = fm
+                    total += w.get('feature_matching', 10.0) * fm
+            if 'kl' in w and g_out['mu'] is not None:
+                kl = L.gaussian_kl_loss(g_out['mu'], g_out['logvar'])
+                m['gen/kl'] = kl
+                total += w['kl'] * kl
+            if 'perceptual' in w and self.perceptual is not None:
+                p = self.perceptual(g_out['fake_images'],
+                                    batch['pseudo_real_img'])
+                m['gen/perceptual'] = p
+                total += w['perceptual'] * p
+            if 'l2' in w:
+                l2 = L.l2_loss(g_out['fake_images'],
+                               batch['pseudo_real_img'])
+                m['gen/l2'] = l2
+                total += w['l2'] * l2
+            if 'l1' in w:
+                l1 = L.l1_loss(g_out['fake_images'],
+                               batch['pseudo_real_img'])
+                m['gen/l1'] = l1
+                total += w['l1'] * l1
+            m['gen/total'] = total
+            return total, m
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params)
+        grads, ok, gnorm = _clip_and_validate(grads, self.cfg)
+        metrics['gen/grad_norm'] = gnorm
+        new_params, new_opt = _apply_update(state.g_params, state.g_opt,
+                                            grads, self.g_tx, ok)
+        ema = state.g_ema
+        if ema is not None:
+            b = self.cfg.ema_beta
+            ema = jax.tree_util.tree_map(
+                lambda e, p: b * e + (1.0 - b) * p, ema, new_params)
+        return state.replace(step=state.step + 1, g_params=new_params,
+                             g_opt=new_opt, g_ema=ema), metrics
+
+    # ------------------------------------------------------------------
+    def train_step(self, state, batch, key):
+        """One full iteration: D update then G update
+        (`train.py:135-142` interleave)."""
+        kd, kg = jax.random.split(key)
+        state, dm = self.dis_step(state, batch, kd)
+        state, gm = self.gen_step(state, batch, kg)
+        return state, {**dm, **gm}
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (`trainers/base.py:236-325,943-982`; orbax instead of
+# torch.save, multi-host safe)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dir, state, step=None):
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    step = int(state.step) if step is None else int(step)
+    path = os.path.join(ckpt_dir, f'step_{step:08d}')
+    ocp.PyTreeCheckpointer().save(path, jax.device_get(state), force=True)
+    with open(os.path.join(ckpt_dir, 'latest_checkpoint.txt'), 'w') as f:
+        f.write(os.path.basename(path) + '\n')
+    return path
+
+
+def latest_checkpoint(ckpt_dir):
+    pointer = os.path.join(ckpt_dir, 'latest_checkpoint.txt')
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as f:
+        name = f.read().strip()
+    path = os.path.join(ckpt_dir, name)
+    return path if os.path.exists(path) else None
+
+
+def load_checkpoint(ckpt_dir, target_state=None):
+    import orbax.checkpoint as ocp
+    path = latest_checkpoint(ckpt_dir)
+    if path is None:
+        return None
+    restored = ocp.PyTreeCheckpointer().restore(path, item=target_state)
+    return restored

@@ -1,0 +1,173 @@
+"""Training engine tests: discriminator, losses, full D+G jitted steps."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scenedreamer_tpu.models.discriminator import (GANcraftDiscriminator,
+                                                   smooth_interp)
+from scenedreamer_tpu.models.generator import (GeneratorConfig,
+                                               SceneDreamerGenerator)
+from scenedreamer_tpu.ops.ray_voxel import camera_rays, ray_voxel_intersection
+from scenedreamer_tpu.scene import camera as cam
+from scenedreamer_tpu.scene import terrain, voxel_world
+from scenedreamer_tpu.train import losses as L
+from scenedreamer_tpu.train import optim
+from scenedreamer_tpu.train.trainer import (GANTrainer, TrainerConfig,
+                                            load_checkpoint, save_checkpoint)
+
+TINY = GeneratorConfig(
+    style_dims=16, interm_style_dims=32, final_feat_dim=8,
+    pad=2, num_blocks_early_stop=4, num_samples=6, sample_depth=3.0,
+    hash_num_levels=4, hash_level_dim=4, hash_log2_size=10,
+    hash_desired_resolution=128, mlp_hidden=32, style_enc_num_filters=8)
+
+NUM_LBL = 12
+
+
+@pytest.fixture(scope='module')
+def train_batch():
+    maps = terrain.generate_terrain(size=64, seed=7, n_voronoi=20,
+                                    relax_iters=2)
+    world = voxel_world.build_voxel_world(
+        maps.height_map, maps.semantic_map, maps.tree_map,
+        fill_depth=8, seed=1, boundary_detect=4)
+    rng = np.random.default_rng(3)
+    h = w = 32
+    b = 2
+    batch = {k: [] for k in ('voxel_id', 'depth', 'hit_mask', 'raydirs',
+                             'cam_ori')}
+    for _ in range(b):
+        ori, d, up, f = cam.rand_camera_pose_tour(world, rng)
+        rd = camera_rays(jnp.asarray(d), jnp.asarray(up), f * (w - 1),
+                         ((h - 1) / 2, (w - 1) / 2), (h, w))
+        vid, dep, hit = ray_voxel_intersection(
+            jnp.asarray(world.voxel), jnp.asarray(ori), rd.reshape(-1, 3),
+            max_samples=4)
+        batch['voxel_id'].append(vid.reshape(h, w, 4))
+        batch['depth'].append(dep.reshape(h, w, 4, 2))
+        batch['hit_mask'].append(hit.reshape(h, w, 4))
+        batch['raydirs'].append(rd)
+        batch['cam_ori'].append(jnp.asarray(ori))
+    data = {k: jnp.stack(v) for k, v in batch.items()}
+    data['height_field'] = jnp.asarray(
+        np.repeat(world.height_field.transpose(0, 2, 3, 1), b, axis=0))
+    data['semantic_field'] = jnp.asarray(
+        np.repeat(world.semantic_field.transpose(0, 2, 3, 1), b, axis=0))
+    crop = h - TINY.pad
+    rng2 = np.random.default_rng(5)
+    data['pseudo_real_img'] = jnp.asarray(
+        rng2.uniform(-1, 1, (b, crop, crop, 3)).astype(np.float32))
+    data['images'] = jnp.asarray(
+        rng2.uniform(-1, 1, (b, crop, crop, 3)).astype(np.float32))
+    lbl = rng2.integers(0, NUM_LBL, (b, crop, crop))
+    data['fake_masks'] = jnp.asarray(
+        jax.nn.one_hot(lbl, NUM_LBL, dtype=jnp.float32))
+    data['real_masks'] = data['fake_masks']
+    return world, data
+
+
+def test_smooth_interp_onehot():
+    x = jax.nn.one_hot(np.random.default_rng(0).integers(0, 5, (1, 16, 16)),
+                       5, dtype=jnp.float32)
+    y = smooth_interp(x, (4, 4))
+    assert y.shape == (1, 4, 4, 5)
+    np.testing.assert_allclose(np.asarray(y.sum(-1)), 1.0)
+    assert set(np.unique(np.asarray(y))) <= {0.0, 1.0}
+
+
+def test_discriminator_outputs(train_batch):
+    _, data = train_batch
+    dis = GANcraftDiscriminator(num_labels=NUM_LBL, num_filters=8)
+    fake = {'fake_images': data['pseudo_real_img']}
+    variables = dis.init(jax.random.PRNGKey(0), data, fake, incl_real=True,
+                         incl_pseudo_real=True)
+    out = dis.apply(variables, data, fake, incl_real=True,
+                    incl_pseudo_real=True)
+    (res,) = out['fake_outputs']
+    hq = -(-(-(-data['pseudo_real_img'].shape[1] // 2)) // 2)  # ceil /4
+    assert res['pred'].shape == (2, hq, hq, NUM_LBL + 1)
+    assert res['label'].shape == (2, hq, hq, NUM_LBL)
+    assert len(out['fake_features']) == 9
+    assert 'real_outputs' in out and 'pseudo_real_outputs' in out
+
+
+def test_gan_loss_directions():
+    """D should prefer assigning real logits to labeled classes and the
+    fake channel to fakes; check the loss moves in the right direction."""
+    rng = np.random.default_rng(0)
+    label = jax.nn.one_hot(rng.integers(1, 4, (2, 8, 8)), 4,
+                           dtype=jnp.float32)
+    good_real = jnp.concatenate([label * 8.0, jnp.zeros((2, 8, 8, 1))], -1)
+    bad_real = jnp.concatenate([jnp.zeros((2, 8, 8, 4)),
+                                jnp.ones((2, 8, 8, 1)) * 8.0], -1)
+    l_good = L.gan_loss([{'pred': good_real, 'label': label}], True, True)
+    l_bad = L.gan_loss([{'pred': bad_real, 'label': label}], True, True)
+    assert float(l_good) < float(l_bad)
+    l_fake_good = L.gan_loss([{'pred': bad_real, 'label': label}], False,
+                             True)
+    l_fake_bad = L.gan_loss([{'pred': good_real, 'label': label}], False,
+                            True)
+    assert float(l_fake_good) < float(l_fake_bad)
+
+
+def test_kl_and_fm_losses():
+    mu = jnp.zeros((2, 8))
+    logvar = jnp.zeros((2, 8))
+    assert float(L.gaussian_kl_loss(mu, logvar)) == pytest.approx(0.0)
+    f = [jnp.ones((2, 4, 4, 3))]
+    r = [jnp.zeros((2, 4, 4, 3))]
+    assert float(L.feature_matching_loss(f, r)) == pytest.approx(1.0)
+
+
+def test_optimizer_schedules():
+    sched = optim.make_schedule({'type': 'step', 'step_size': 10,
+                                 'gamma': 0.1, 'iteration_mode': True})
+    assert sched(0) == 1.0 and sched(10) == pytest.approx(0.1)
+    lin = optim.make_schedule({'type': 'linear', 'decay_start': 0,
+                               'decay_end': 100, 'decay_target': 0.,
+                               'iteration_mode': True})
+    assert float(lin(50)) == pytest.approx(0.5)
+
+
+def test_fromage_and_madam_run():
+    params = {'w': jnp.ones((4, 4)), 'b': jnp.ones((4,))}
+    grads = {'w': jnp.ones((4, 4)) * 0.1, 'b': jnp.ones((4,)) * 0.1}
+    for tx in (optim.fromage(0.01), optim.madam(0.01)):
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        assert np.isfinite(np.asarray(new['w'])).all()
+        assert not np.allclose(np.asarray(new['w']), np.asarray(params['w']))
+
+
+def test_full_train_step(train_batch, tmp_path):
+    world, data = train_batch
+    gen = SceneDreamerGenerator(cfg=TINY)
+    dis = GANcraftDiscriminator(num_labels=NUM_LBL, num_filters=8)
+    perc = L.PerceptualLoss(layers=('relu_2_1',), weights=(1.0,))
+    trainer = GANTrainer(gen, dis, world.dims,
+                         cfg=TrainerConfig(ema_beta=0.9),
+                         perceptual=perc, iters_per_epoch=10)
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(key, data)
+    g0 = jax.device_get(state.g_params)
+
+    state, metrics = trainer.train_step(state, data, jax.random.PRNGKey(1))
+    assert int(state.step) == 1
+    for k in ('dis/total', 'gen/total', 'gen/l2', 'gen/kl',
+              'gen/perceptual', 'gen/gan', 'gen/pgan'):
+        assert np.isfinite(float(metrics[k])), k
+
+    # params actually moved
+    g1 = jax.device_get(state.g_params)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), g0, g1)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    # checkpoint round trip
+    path = save_checkpoint(tmp_path / 'ckpt', state)
+    assert path
+    restored = load_checkpoint(tmp_path / 'ckpt', state)
+    np.testing.assert_allclose(
+        np.asarray(restored.step), np.asarray(state.step))
