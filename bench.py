@@ -1,0 +1,150 @@
+"""Headline benchmark: rays/s/chip, forward+backward, 540x960 x 24
+samples/ray (BASELINE.json primary metric).
+
+Measures the full differentiable render path of the flagship generator —
+stratified depth sampling, 5-d multiresolution hash-grid encode
+(fwd + scatter-add bwd), style-modulated RenderMLP, SKYMLP, volume
+compositing, RenderCNN — as one jitted loss+grad step per ray tile,
+iterated over a 540x960 frame like the reference's tile loop
+(`imaginaire/generators/scenedreamer.py:600-628`), on whatever single
+chip is available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+reported against our own round-0 recorded value when present in
+BENCH_BASELINE.json, else 1.0.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_env = os.environ.get
+FRAME_H = int(_env('BENCH_H', 540))
+FRAME_W = int(_env('BENCH_W', 960))
+TILE = int(_env('BENCH_TILE', 128))
+NUM_SAMPLES = int(_env('BENCH_SAMPLES', 24))
+MAX_INTERVALS = int(_env('BENCH_M', 6))   # num_blocks_early_stop (train)
+PAD = 6
+WARMUP_STEPS = 2
+TIMED_REPS = int(_env('BENCH_REPS', 3))
+SCENE = int(_env('BENCH_SCENE', 256))
+TINY = bool(int(_env('BENCH_TINY', '0')))  # smoke-test model size
+
+
+def build():
+    from scenedreamer_tpu.data.synthetic import make_world
+    from scenedreamer_tpu.models.generator import (GeneratorConfig,
+                                                   SceneDreamerGenerator)
+    from scenedreamer_tpu.ops.ray_voxel import (camera_rays,
+                                                ray_voxel_intersection)
+    from scenedreamer_tpu.scene import camera as cam
+
+    if TINY:
+        cfg = GeneratorConfig(
+            num_samples=NUM_SAMPLES, num_blocks_early_stop=MAX_INTERVALS,
+            pad=PAD, style_dims=16, interm_style_dims=32,
+            final_feat_dim=8, hash_num_levels=4, hash_level_dim=4,
+            hash_log2_size=10, hash_desired_resolution=128,
+            mlp_hidden=32, style_enc_num_filters=8)
+    else:
+        cfg = GeneratorConfig(num_samples=NUM_SAMPLES,
+                              num_blocks_early_stop=MAX_INTERVALS,
+                              pad=PAD)
+    world = make_world(size=SCENE, seed=42)
+    model = SceneDreamerGenerator(cfg=cfg)
+
+    # full-frame ray intersection once (as the reference does per frame);
+    # camera sensor = output frame + CNN pad (`scenedreamer.py:554`)
+    cam_h, cam_w = FRAME_H + PAD, FRAME_W + PAD
+    rng = np.random.default_rng(0)
+    ori, d, up, _f = cam.rand_camera_pose_tour(world, rng)
+    f = 0.5 / np.tan(0.5 * np.deg2rad(26.0))
+    rd = camera_rays(jnp.asarray(d), jnp.asarray(up), f * (FRAME_W - 1),
+                     ((cam_h - 1) / 2, (cam_w - 1) / 2),
+                     (cam_h, cam_w))
+    vid, dep, hit = ray_voxel_intersection(
+        jnp.asarray(world.voxel), jnp.asarray(ori), rd.reshape(-1, 3),
+        MAX_INTERVALS)
+    vid = vid.reshape(cam_h, cam_w, MAX_INTERVALS)
+    dep = dep.reshape(cam_h, cam_w, MAX_INTERVALS, 2)
+    hit = hit.reshape(cam_h, cam_w, MAX_INTERVALS)
+
+    # fixed-shape padded tiles over the output frame (edge tiles shifted
+    # back into range so ONE executable covers the whole frame)
+    th = tw = TILE + PAD
+    tiles = []
+    for y in range(0, FRAME_H, TILE):
+        for x in range(0, FRAME_W, TILE):
+            tiles.append((min(y, FRAME_H - TILE), min(x, FRAME_W - TILE)))
+
+    def tile_batch(y0, x0):
+        return {
+            'voxel_id': vid[None, y0:y0 + th, x0:x0 + tw],
+            'depth': dep[None, y0:y0 + th, x0:x0 + tw],
+            'hit_mask': hit[None, y0:y0 + th, x0:x0 + tw],
+            'raydirs': rd[None, y0:y0 + th, x0:x0 + tw],
+            'cam_ori': jnp.asarray(ori)[None],
+            'height_field': jnp.asarray(
+                world.height_field.transpose(0, 2, 3, 1)),
+            'semantic_field': jnp.asarray(
+                world.semantic_field.transpose(0, 2, 3, 1)),
+        }
+
+    key = jax.random.PRNGKey(0)
+    example = tile_batch(*tiles[0])
+    params = model.init({'params': key}, example, world.dims, key,
+                        random_style=True)
+    target = jnp.zeros((1, TILE, TILE, 3), jnp.float32)
+
+    def loss_fn(p, batch):
+        out = model.apply(p, batch, world.dims, key, random_style=True)
+        return jnp.mean((out['fake_images'] - target) ** 2)
+
+    step = jax.jit(jax.grad(loss_fn))
+    return step, params, tile_batch, tiles
+
+
+def main():
+    step, params, tile_batch, tiles = build()
+    batches = [tile_batch(y, x) for (y, x) in tiles]
+
+    for _ in range(WARMUP_STEPS):
+        g = step(params, batches[0])
+    jax.block_until_ready(g)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_REPS):
+        for b in batches:
+            g = step(params, b)
+    jax.block_until_ready(g)
+    dt = time.perf_counter() - t0
+
+    rays = FRAME_H * FRAME_W * TIMED_REPS
+    rays_per_s = rays / dt
+
+    baseline = None
+    if os.path.exists('BENCH_BASELINE.json'):
+        try:
+            with open('BENCH_BASELINE.json') as fh:
+                baseline = json.load(fh).get('value')
+        except Exception:
+            baseline = None
+    vs = rays_per_s / baseline if baseline else 1.0
+
+    print(json.dumps({
+        'metric': 'rays_per_s_fwd_bwd_540x960x24',
+        'value': round(rays_per_s, 1),
+        'unit': 'rays/s/chip',
+        'vs_baseline': round(vs, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,289 @@
+"""Training CLI: full SceneDreamer GAN training loop.
+
+Capability parity with `train.py:50-164` in the reference: config
+loading, seeding, (multi-host) distributed init, dataloader/model/
+trainer construction, epoch/iteration loop alternating D and G updates,
+metric logging, image snapshots, checkpoint cadence, resume from
+`latest_checkpoint.txt`.
+
+The per-iteration flow mirrors `trainers/gancraft.py:139-156`: sample a
+cached world + rejection-sampled cameras + SPADE pseudo-GT on host
+(outside autograd), then run the jitted D+G train step on device.
+
+Usage:
+    python -m scenedreamer_tpu.cli.train --config configs/scenedreamer_train.yaml \
+        --data-root data/lhq --terrain-cache data/terrain_cache \
+        --logdir logs
+"""
+import argparse
+import os
+import time
+
+
+def build_everything(cfg, args):
+    import jax
+    import numpy as np
+    from scenedreamer_tpu.data.paired_dataset import (AugmentConfig,
+                                                      DataLoader,
+                                                      PairedImageDataset)
+    from scenedreamer_tpu.models.discriminator import GANcraftDiscriminator
+    from scenedreamer_tpu.models.generator import (GeneratorConfig,
+                                                   SceneDreamerGenerator)
+    from scenedreamer_tpu.models.spade import SPADEWrapper
+    from scenedreamer_tpu.parallel import mesh as pm
+    from scenedreamer_tpu.scene.voxel_world import WorldCache
+    from scenedreamer_tpu.train import losses as L
+    from scenedreamer_tpu.train import optim
+    from scenedreamer_tpu.train.sampling import (CameraBatchSampler,
+                                                 CameraSamplerConfig,
+                                                 PseudoGTGenerator,
+                                                 TrainingBatchBuilder)
+    from scenedreamer_tpu.train.trainer import GANTrainer, TrainerConfig
+
+    gen_cfg = cfg.get('gen', {})
+    crop = tuple(gen_cfg.get('crop_size', (256, 256)))
+    pad = int(gen_cfg.get('pad', 6))
+
+    gcfg = GeneratorConfig(
+        style_dims=int(gen_cfg.get('style_dims', 128)),
+        interm_style_dims=int(gen_cfg.get('interm_style_dims', 256)),
+        final_feat_dim=int(gen_cfg.get('final_feat_dim', 64)),
+        pad=pad,
+        num_blocks_early_stop=int(gen_cfg.get('num_blocks_early_stop', 6)),
+        num_samples=int(gen_cfg.get('num_samples', 24)),
+        sample_depth=float(gen_cfg.get('sample_depth', 3.0)),
+        raw_noise_std=float(gen_cfg.get('raw_noise_std', 0.0)),
+        dists_scale=float(gen_cfg.get('dists_scale', 0.25)),
+        # extensions over the reference yaml: expose the hash-grid / MLP
+        # sizes (hard-coded at scenedreamer.py:51 upstream)
+        hash_num_levels=int(gen_cfg.get('hash_num_levels', 16)),
+        hash_level_dim=int(gen_cfg.get('hash_level_dim', 8)),
+        hash_log2_size=int(gen_cfg.get('hash_log2_size', 19)),
+        hash_desired_resolution=int(gen_cfg.get('hash_desired_resolution',
+                                                2048)),
+        mlp_hidden=int(gen_cfg.get('mlp_hidden', 256)),
+        style_enc_num_filters=int(
+            gen_cfg.get('style_enc', {}).get('num_filters', 64)),
+    )
+    generator = SceneDreamerGenerator(cfg=gcfg)
+
+    dis_cfg = cfg.get('dis', {})
+    discriminator = GANcraftDiscriminator(
+        num_labels=int(dis_cfg.get('num_labels', 12)),
+        num_filters=int(dis_cfg.get('num_filters', 128)),
+        smooth_resample=bool(dis_cfg.get('smooth_resample', True)))
+
+    # dataset
+    dataset = PairedImageDataset(
+        args.data_root, dataset_type=args.dataset_type,
+        augment=AugmentConfig(random_crop_h_w=crop))
+    loader = DataLoader(dataset, batch_size=args.batch_size,
+                        seed=args.seed,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
+
+    # worlds
+    world_cache = WorldCache(args.terrain_cache)
+
+    # SPADE pseudo-GT oracle (frozen; converted weights when provided)
+    spade = SPADEWrapper(num_labels=185, out_size=args.spade_size,
+                         num_filters=args.spade_filters)
+    seg0 = np.zeros((1, args.spade_res, args.spade_res, 185),
+                    np.float32)
+    seg0[..., 0] = 1.0
+    sp_vars = spade.init({'params': jax.random.PRNGKey(0),
+                          'style': jax.random.PRNGKey(1)},
+                         {'label': seg0}, random_style=True)
+    if args.spade_checkpoint:
+        import orbax.checkpoint as ocp
+        sp_vars = ocp.PyTreeCheckpointer().restore(
+            args.spade_checkpoint, item=sp_vars)
+        print('[train] loaded SPADE oracle weights')
+    else:
+        print('[train] WARNING: SPADE oracle randomly initialized '
+              '(provide --spade-checkpoint for real pseudo-GT)')
+
+    def spade_apply(masks, key):
+        return spade.apply(sp_vars, {'label': masks}, random_style=True,
+                           rngs={'style': key})['fake_images']
+
+    sampler = CameraBatchSampler(CameraSamplerConfig(
+        cam_res=tuple(gen_cfg.get('cam_res', (360, 640))),
+        crop_size=crop, pad=pad,
+        num_blocks_early_stop=gcfg.num_blocks_early_stop,
+        camera_sampler_type=gen_cfg.get('camera_sampler_type',
+                                        'traditional'),
+        camera_rej_avg_depth=float(gen_cfg.get('camera_rej_avg_depth',
+                                               2.0)),
+        camera_min_entropy=float(gen_cfg.get('camera_min_entropy', 0.75)),
+        label_smooth_dia=int(gen_cfg.get('label_smooth_dia', 11))))
+    pseudo_gt = PseudoGTGenerator(
+        spade_apply, pad=pad, spade_res=args.spade_res,
+        use_label_smooth_pgt=bool(gen_cfg.get('use_label_smooth_pgt',
+                                              True)),
+        label_smooth_dia=int(gen_cfg.get('label_smooth_dia', 11)))
+    builder = TrainingBatchBuilder(sampler, pseudo_gt)
+
+    # losses / trainer
+    lw = dict(cfg.get('trainer', {}).get('loss_weight',
+                                         L.DEFAULT_LOSS_WEIGHTS))
+    perc_cfg = cfg.get('trainer', {}).get('perceptual_loss', None)
+    perceptual = None
+    if 'perceptual' in lw:
+        kwargs = {}
+        if perc_cfg:
+            kwargs = dict(layers=tuple(perc_cfg['layers']),
+                          weights=tuple(perc_cfg['weights']))
+        perceptual = L.PerceptualLoss(**kwargs)
+    ema_cfg = cfg.get('trainer', {}).get('model_average_config', {})
+    trainer = GANTrainer(
+        generator, discriminator, voxel_dims=None,  # set per world
+        cfg=TrainerConfig(
+            loss_weights=lw,
+            ema_beta=float(ema_cfg.get('beta', 0.9999))
+            if ema_cfg.get('enabled', False) else 0.0),
+        perceptual=perceptual, iters_per_epoch=max(len(loader), 1))
+    return (generator, discriminator, loader, world_cache, builder,
+            trainer, gcfg)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--config', default=None)
+    p.add_argument('--data-root', required=True)
+    p.add_argument('--dataset-type', default='folder',
+                   choices=['folder', 'lmdb'])
+    p.add_argument('--terrain-cache', required=True)
+    p.add_argument('--spade-checkpoint', default='')
+    p.add_argument('--spade-size', type=int, default=512,
+                   choices=[256, 512, 1024],
+                   help='SPADE architecture variant (512 = reference)')
+    p.add_argument('--spade-res', type=int, default=512,
+                   help='resolution the oracle is evaluated at '
+                        '(512 = reference)')
+    p.add_argument('--spade-filters', type=int, default=128)
+    p.add_argument('--logdir', default='logs')
+    p.add_argument('--batch-size', type=int, default=1)
+    p.add_argument('--max-epoch', type=int, default=None)
+    p.add_argument('--max-iter', type=int, default=None)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--resume', action='store_true')
+    p.add_argument('--platform', default=None,
+                   help="force a jax platform (e.g. 'cpu'); with cpu, "
+                        'JAX_NUM_CPU_DEVICES controls the device count')
+    a = p.parse_args(argv)
+
+    if a.platform:
+        _force_platform(a.platform)
+    import jax
+    import numpy as np
+    from scenedreamer_tpu.parallel.mesh import init_distributed
+    from scenedreamer_tpu.train.trainer import (load_checkpoint,
+                                                save_checkpoint)
+    from scenedreamer_tpu.utils.config import Config
+    from scenedreamer_tpu.utils.meters import (MetricsWriter,
+                                               make_logging_dir)
+
+    init_distributed()
+    cfg = Config(a.config)
+    max_epoch = a.max_epoch or int(cfg.get('max_epoch', 400))
+    logging_iter = int(cfg.get('logging_iter', 10))
+    snapshot_save_iter = int(cfg.get('snapshot_save_iter', 10000))
+    snapshot_save_epoch = int(cfg.get('snapshot_save_epoch', 5))
+
+    (gen, dis, loader, world_cache, builder, trainer, gcfg) = \
+        build_everything(cfg, a)
+
+    logdir = make_logging_dir(a.logdir, cfg.get('name', 'scenedreamer'))
+    writer = MetricsWriter(logdir)
+    ckpt_dir = os.path.join(logdir, 'checkpoints')
+    print(f'[train] logging to {logdir}')
+
+    # seed by rank (reference utils/trainer.py:20-33)
+    rng = np.random.default_rng(a.seed + jax.process_index())
+    key = jax.random.PRNGKey(a.seed + jax.process_index())
+
+    # first world defines voxel dims for the jitted step; worlds in one
+    # cache share the 256-level height so dims stay static across swaps
+    world = world_cache.sample_world(rng=_RandomAdapter(rng))
+    trainer.voxel_dims = tuple(int(d) for d in world.voxel.shape)
+
+    state = None
+    it = 0
+    t0 = time.time()
+    for epoch in range(max_epoch):
+        loader.set_epoch(epoch)
+        world = world_cache.sample_world(rng=_RandomAdapter(rng))
+        for data_np in loader:
+            key, k_batch, k_step = jax.random.split(key, 3)
+            data = {k: jax.numpy.asarray(v) for k, v in data_np.items()
+                    if k in ('images', 'label')}
+            batch = builder(data, world, rng, k_batch)
+            if state is None:
+                state = trainer.init_state(jax.random.PRNGKey(a.seed),
+                                           batch)
+                if a.resume:
+                    restored = load_checkpoint(ckpt_dir, state)
+                    if restored is not None:
+                        state = restored
+                        it = int(state.step)
+                        print(f'[train] resumed at iteration {it}')
+            state, metrics = trainer.train_step(state, batch, k_step)
+            it += 1
+            for k, v in metrics.items():
+                writer.meter(k).write(float(v))
+            if it % logging_iter == 0:
+                dt = time.time() - t0
+                writer.flush_meters(it)
+                writer.scalar('perf/iters_per_s', logging_iter / dt, it)
+                print(f'epoch {epoch} iter {it} '
+                      f'({logging_iter / dt:.2f} it/s) '
+                      f"G {float(metrics['gen/total']):.3f} "
+                      f"D {float(metrics['dis/total']):.3f}")
+                t0 = time.time()
+            if it % snapshot_save_iter == 0 \
+                    and jax.process_index() == 0:
+                save_checkpoint(ckpt_dir, state)
+            if a.max_iter and it >= a.max_iter:
+                break
+        if a.max_iter and it >= a.max_iter:
+            break
+        if (epoch + 1) % snapshot_save_epoch == 0 \
+                and jax.process_index() == 0 and state is not None:
+            save_checkpoint(ckpt_dir, state)
+    if jax.process_index() == 0 and state is not None:
+        save_checkpoint(ckpt_dir, state)
+        print(f'[train] done at iteration {it}; checkpoints in '
+              f'{ckpt_dir}')
+    writer.close()
+
+
+def _force_platform(platform):
+    """Switch jax backends even when the container sitecustomize already
+    imported jax with a default platform."""
+    import os
+    import jax
+    from jax._src import xla_bridge
+    jax.config.update('jax_platforms', platform)
+    if platform == 'cpu':
+        jax.config.update('jax_num_cpu_devices',
+                          int(os.environ.get('JAX_NUM_CPU_DEVICES', 8)))
+    try:
+        xla_bridge._clear_backends()
+    except Exception:
+        pass
+
+
+class _RandomAdapter:
+    """numpy Generator -> `random.choice`-style interface used by
+    WorldCache."""
+
+    def __init__(self, rng):
+        self.rng = rng
+
+    def choice(self, seq):
+        return seq[int(self.rng.integers(0, len(seq)))]
+
+
+if __name__ == '__main__':
+    main()

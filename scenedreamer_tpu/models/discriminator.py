@@ -104,15 +104,21 @@ class FPSEDiscriminator(nn.Module):
         feat14 = down(8 * nf, name='enc4')(feat13, update_stats)    # /16
         feat15 = down(8 * nf, name='enc5')(feat14, update_stats)    # /32
 
-        def up2(x):
-            b, h, w, c = x.shape
-            return jax.image.resize(x, (b, 2 * h, 2 * w, c), 'bilinear')
+        def up_to(x, ref):
+            # bilinear 2x in the reference (256-divisible inputs); resize
+            # to the lateral's exact dims so odd sizes also compose
+            b, _, _, c = x.shape
+            return jax.image.resize(x, (b,) + ref.shape[1:3] + (c,),
+                                    'bilinear')
 
         # top-down pathway + lateral connections
         feat25 = lat(4 * nf, name='lat5')(feat15, update_stats)
-        feat24 = up2(feat25) + lat(4 * nf, name='lat4')(feat14, update_stats)
-        feat23 = up2(feat24) + lat(4 * nf, name='lat3')(feat13, update_stats)
-        feat22 = up2(feat23) + lat(4 * nf, name='lat2')(feat12, update_stats)
+        feat24 = up_to(feat25, feat14) \
+            + lat(4 * nf, name='lat4')(feat14, update_stats)
+        feat23 = up_to(feat24, feat13) \
+            + lat(4 * nf, name='lat3')(feat13, update_stats)
+        feat22 = up_to(feat23, feat12) \
+            + lat(4 * nf, name='lat2')(feat12, update_stats)
 
         feat32 = SNConv(2 * nf, kernel_size=self.kernel_size, stride=1,
                         dtype=self.dtype, name='final2')(feat22, update_stats)

@@ -61,18 +61,27 @@ def init_distributed():
     return jax.process_index(), jax.process_count()
 
 
-def batch_spec(key, ndim, shard_rays=True):
-    """PartitionSpec for one batch entry."""
-    if key in _BATCH_ONLY_KEYS or ndim < 2 or not shard_rays:
-        return P(*(('data',) + (None,) * (ndim - 1)))
-    return P(*(('data', 'rays') + (None,) * (ndim - 2)))
+def batch_spec(key, shape, mesh=None, shard_rays=True):
+    """PartitionSpec for one batch entry. Axes that do not divide the
+    mesh extent evenly fall back to replication on that axis (XLA
+    reshards on demand inside the step)."""
+    ndim = len(shape)
+    n_data = mesh.shape['data'] if mesh is not None else 1
+    n_rays = mesh.shape.get('rays', 1) if mesh is not None else 1
+    axes = [None] * ndim
+    if ndim >= 1 and shape[0] % max(n_data, 1) == 0:
+        axes[0] = 'data'
+    if (shard_rays and ndim >= 2 and key not in _BATCH_ONLY_KEYS
+            and shape[1] % max(n_rays, 1) == 0):
+        axes[1] = 'rays'
+    return P(*axes)
 
 
 def shard_batch(mesh, batch, shard_rays=True):
     """Place a host batch dict onto the mesh with DP(+rays) sharding."""
     out = {}
     for k, v in batch.items():
-        spec = batch_spec(k, np.ndim(v), shard_rays)
+        spec = batch_spec(k, np.shape(v), mesh, shard_rays)
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 
@@ -91,7 +100,7 @@ def global_batch_from_local(mesh, local_batch, shard_rays=False):
     `utils/dataset.py:53`)."""
     out = {}
     for k, v in local_batch.items():
-        spec = batch_spec(k, np.ndim(v), shard_rays)
+        spec = batch_spec(k, np.shape(v), mesh, shard_rays)
         out[k] = jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), np.asarray(v))
     return out

@@ -1,0 +1,281 @@
+"""Training-batch assembly: rejection-sampled cameras + pseudo ground
+truth + mask translation.
+
+Capability parity with the reference's per-iteration sampling
+(`imaginaire/generators/scenedreamer.py:80-283` _get_batch /
+get_pseudo_gt / sample_camera, invoked outside autograd from
+`trainers/gancraft.py:139-156`):
+
+  * 'traditional' camera sampler: 50% tour poses / 50% third-person
+    poses with randomized focal length, principal-point jitter
+    emulating a random crop of a 360x640 virtual sensor
+  * rejection on mean hit depth < 2.0 and first-hit label entropy
+    < 0.75
+  * pseudo-GT: first-hit mc labels -> coco(183+1), stochastic
+    sky->clouds/fog and water->sea/river relabeling, one-hot 185ch,
+    SPADE oracle at 512x512, NaN/Inf scrub, area-resize back, clamp
+  * reduced(12)-label one-hot masks for D, label smoothing (11x11
+    avgpool+argmax) on both fake and real masks
+
+TPU-native split: camera proposals and the accept/reject loop run on
+host numpy exactly like the reference's no_grad block (data-dependent
+trip counts don't belong in jit); the heavy parts — ray-voxel
+intersection, SPADE, label translation, smoothing — are jitted device
+code with static shapes.
+"""
+import dataclasses
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scenedreamer_tpu.ops.masks import rand_crop, segmask_smooth
+from scenedreamer_tpu.ops.ray_voxel import (camera_rays,
+                                            ray_voxel_intersection)
+from scenedreamer_tpu.scene import camera as camctl
+from scenedreamer_tpu.scene.labels import get_label_translator
+
+
+@dataclasses.dataclass
+class CameraSamplerConfig:
+    """configs/scenedreamer_train.yaml:118-149."""
+    cam_res: tuple = (360, 640)
+    crop_size: tuple = (256, 256)
+    pad: int = 6
+    num_blocks_early_stop: int = 6
+    camera_sampler_type: str = 'traditional'
+    camera_rej_avg_depth: float = 2.0
+    camera_min_entropy: float = 0.75
+    max_rejections: int = 100
+    num_reduced_labels: int = 12
+    use_label_smooth: bool = True
+    use_label_smooth_real: bool = True
+    use_label_smooth_pgt: bool = True
+    label_smooth_dia: int = 11
+
+
+class CameraBatchSampler:
+    """Host-side rejection sampler producing ray batches for one world."""
+
+    def __init__(self, cfg: CameraSamplerConfig = CameraSamplerConfig()):
+        self.cfg = cfg
+        self.trans = get_label_translator()
+        c = cfg
+        self.crop_res = (c.crop_size[0] + c.pad, c.crop_size[1] + c.pad)
+        self._intersect = jax.jit(
+            lambda voxel, ori, rd: ray_voxel_intersection(
+                voxel, ori, rd, c.num_blocks_early_stop),
+            static_argnums=())
+
+    def _propose(self, world, rng):
+        """One camera proposal (`scenedreamer.py:95-120`)."""
+        c = self.cfg
+        h, w = c.cam_res
+        cam_c = ((h - 1) / 2.0, (w - 1) / 2.0)
+        if c.camera_sampler_type == 'traditional' and rng.random() > 0.5:
+            ori, cdir, up, f = camctl.rand_camera_pose_tour(world, rng)
+            cam_f = f * (w - 1)
+        else:
+            ori, cdir, up = camctl.rand_camera_pose_thirdperson2(
+                world, rng)[:3]
+            cam_f = 0.5 / np.tan(np.deg2rad(73 / 2)
+                                 * (rng.random() * 0.5 + 0.5)) * (w - 1)
+        cam_c = rand_crop(rng, cam_c, c.cam_res, self.crop_res)
+        return ori, cdir, up, cam_f, cam_c
+
+    def sample(self, world, batch_size, rng, voxel_dev=None):
+        """Rejection-sample batch_size cameras against one world.
+
+        Returns dict: voxel_id [B,h,w,M], depth [B,h,w,M,2], hit_mask,
+        raydirs [B,h,w,3], cam_ori [B,3] (NHWC, device arrays).
+        """
+        c = self.cfg
+        h, w = self.crop_res
+        voxel = jnp.asarray(world.voxel) if voxel_dev is None else voxel_dev
+        out = {k: [] for k in ('voxel_id', 'depth', 'hit_mask', 'raydirs',
+                               'cam_ori')}
+        for _ in range(batch_size):
+            accepted = None
+            for _try in range(c.max_rejections):
+                ori, cdir, up, cam_f, cam_c = self._propose(world, rng)
+                rd = camera_rays(jnp.asarray(cdir, jnp.float32),
+                                 jnp.asarray(up, jnp.float32), cam_f,
+                                 cam_c, (h, w))
+                vid, dep, hit = self._intersect(
+                    voxel, jnp.asarray(ori, jnp.float32),
+                    rd.reshape(-1, 3))
+                hitn = np.asarray(hit)
+                # reject: too close (`scenedreamer.py:129-133`)
+                if c.camera_rej_avg_depth > 0:
+                    d0 = np.asarray(dep[..., 0, 0])
+                    valid = hitn[..., 0]
+                    if valid.any():
+                        avg_depth = d0[valid].mean()
+                    else:
+                        avg_depth = 0.0
+                    if avg_depth < c.camera_rej_avg_depth:
+                        continue
+                # reject: low entropy (`scenedreamer.py:136-143`)
+                if c.camera_min_entropy > 0:
+                    first = np.asarray(vid[..., 0])
+                    cnt = np.bincount(first.ravel(), minlength=680) \
+                        / first.size
+                    ent = -np.sum(cnt * np.log(cnt + 1e-10))
+                    if ent < c.camera_min_entropy:
+                        continue
+                accepted = (vid, dep, hit, rd, ori)
+                break
+            if accepted is None:     # fall back to the last proposal
+                accepted = (vid, dep, hit, rd, ori)
+            vid, dep, hit, rd, ori = accepted
+            out['voxel_id'].append(vid.reshape(h, w, -1))
+            out['depth'].append(dep.reshape(h, w, -1, 2))
+            out['hit_mask'].append(hit.reshape(h, w, -1))
+            out['raydirs'].append(rd)
+            out['cam_ori'].append(jnp.asarray(ori, jnp.float32))
+        return {k: jnp.stack(v) for k, v in out.items()}
+
+
+class PseudoGTGenerator:
+    """Wraps the SPADE oracle into the reference pseudo-GT contract
+    (`scenedreamer.py:158-213`)."""
+
+    def __init__(self, spade_apply: Callable, pad=6, resize_512=True,
+                 use_label_smooth_pgt=True, label_smooth_dia=11,
+                 num_coco_labels=185, spade_res=512):
+        """spade_apply: (label_onehot [B,R,R,C], key) -> image
+        [B,R,R,3] in [-1,1], R = spade_res (512 in the reference)."""
+        self.spade_apply = spade_apply
+        self.pad = pad
+        self.resize_512 = resize_512
+        self.spade_res = spade_res
+        self.use_label_smooth_pgt = use_label_smooth_pgt
+        self.label_smooth_dia = label_smooth_dia
+        self.num_coco = num_coco_labels
+        self.trans = get_label_translator()
+        self._jit = jax.jit(self._device_part)
+
+    def _device_part(self, voxel_id_first, sky_sub, water_sub, key):
+        """mc first-hit labels -> fake_masks + pseudo-real image."""
+        trans = self.trans
+        coco = trans.mc2coco(voxel_id_first) - 1
+        coco = jnp.where(coco < 0, 183, coco)
+        # stochastic relabeling, chosen on host, applied on device
+        sky_id = trans.gglbl2ggid('sky')
+        water_id = trans.gglbl2ggid('water')
+        coco = jnp.where((coco == sky_id) & (sky_sub >= 0), sky_sub, coco)
+        coco = jnp.where((coco == water_id) & (water_sub >= 0), water_sub,
+                         coco)
+        fake_masks = jax.nn.one_hot(coco, self.num_coco,
+                                    dtype=jnp.float32)
+        if self.use_label_smooth_pgt:
+            fake_masks = segmask_smooth(fake_masks, self.label_smooth_dia)
+        if self.pad > 0:
+            p0 = self.pad // 2
+            fake_masks = fake_masks[:, p0:-p0, p0:-p0]
+        masks_in = fake_masks
+        if self.resize_512:
+            r = self.spade_res
+            masks_in = jax.image.resize(
+                fake_masks, (fake_masks.shape[0], r, r,
+                             fake_masks.shape[-1]), 'nearest')
+        img = self.spade_apply(masks_in, key)
+        img = jnp.nan_to_num(img, nan=0.0, posinf=0.0, neginf=0.0)
+        if self.resize_512:
+            b, hh, ww, _ = fake_masks.shape
+            r = self.spade_res
+            # area-downsample back to the crop resolution
+            fh, fw = r // hh, r // ww
+            if fh * hh == r and fw * ww == r:
+                img = img.reshape(b, hh, fh, ww, fw, 3).mean(axis=(2, 4))
+            else:
+                img = jax.image.resize(img, (b, hh, ww, 3), 'linear')
+        return jnp.clip(img, -1.0, 1.0), fake_masks
+
+    def __call__(self, voxel_id, rng, key, deterministic=False):
+        """voxel_id: [B, h, w, M] first-hit ids in slot 0."""
+        sky_sub = water_sub = -1
+        if not deterministic:
+            dice = rng.random()
+            if 0.5 < dice < 0.9:
+                sky_sub = self.trans.gglbl2ggid('clouds')
+            elif dice >= 0.9:
+                sky_sub = self.trans.gglbl2ggid('fog')
+            dice = rng.random()
+            if 0.33 < dice < 0.66:
+                water_sub = self.trans.gglbl2ggid('sea')
+            elif dice >= 0.66:
+                water_sub = self.trans.gglbl2ggid('river')
+        return self._jit(voxel_id[..., 0], jnp.int32(sky_sub),
+                         jnp.int32(water_sub), key)
+
+
+def translate_masks(trans, voxel_id, real_label_onehot, pad=6,
+                    num_reduced=12, use_label_smooth=True,
+                    use_label_smooth_real=True, label_smooth_dia=11):
+    """Reduced-label fake/real masks (`scenedreamer.py:246-281`).
+
+    voxel_id: [B,h,w,M]; real_label_onehot: [B,H,W,184] or None.
+    """
+    reduced_fake = trans.mc2reduced(voxel_id[..., 0], ign2dirt=True)
+    fake = jax.nn.one_hot(reduced_fake, num_reduced, dtype=jnp.float32)
+    if pad:
+        p0 = pad // 2
+        fake = fake[:, p0:-p0, p0:-p0]
+    if use_label_smooth:
+        fake = segmask_smooth(fake, label_smooth_dia)
+
+    real = None
+    if real_label_onehot is not None:
+        idx = jnp.argmax(real_label_onehot, axis=-1)
+        idx = jnp.minimum(idx, 182)
+        reduced_real = trans.coco2reduced(idx)
+        real = jax.nn.one_hot(reduced_real, num_reduced,
+                              dtype=jnp.float32)
+        if use_label_smooth_real:
+            real = segmask_smooth(real, label_smooth_dia)
+    return fake, real
+
+
+class TrainingBatchBuilder:
+    """Full `sample_camera` equivalent: cameras + pseudo-GT + masks
+    (`scenedreamer.py:216-283`, `trainers/gancraft.py:139-156`)."""
+
+    def __init__(self, sampler: CameraBatchSampler,
+                 pseudo_gt: Optional[PseudoGTGenerator] = None,
+                 world_cache: Any = None):
+        self.sampler = sampler
+        self.pseudo_gt = pseudo_gt
+        self.world_cache = world_cache
+        self.trans = sampler.trans
+        c = sampler.cfg
+        self._translate = jax.jit(
+            lambda vid, real: translate_masks(
+                self.trans, vid, real, pad=c.pad,
+                num_reduced=c.num_reduced_labels,
+                use_label_smooth=c.use_label_smooth,
+                use_label_smooth_real=c.use_label_smooth_real,
+                label_smooth_dia=c.label_smooth_dia))
+
+    def __call__(self, data, world, rng, key):
+        """data: {'images': [B,H,W,3], 'label': [B,H,W,184]} (may be
+        empty dict for pseudo-GT-only training). Returns the merged
+        training batch."""
+        batch_size = data['images'].shape[0] if 'images' in data else 1
+        rays = self.sampler.sample(world, batch_size, rng)
+        ret = dict(data)
+        ret.update(rays)
+        ret['height_field'] = jnp.asarray(np.repeat(
+            world.height_field.transpose(0, 2, 3, 1), batch_size, 0))
+        ret['semantic_field'] = jnp.asarray(np.repeat(
+            world.semantic_field.transpose(0, 2, 3, 1), batch_size, 0))
+        if self.pseudo_gt is not None:
+            pseudo, _ = self.pseudo_gt(rays['voxel_id'], rng, key)
+            ret['pseudo_real_img'] = pseudo
+        fake, real = self._translate(rays['voxel_id'],
+                                     data.get('label'))
+        ret['fake_masks'] = fake
+        if real is not None:
+            ret['real_masks'] = real
+        return ret

@@ -96,7 +96,8 @@ class GANTrainer:
                  g_tx=None, d_tx=None, iters_per_epoch=1000):
         self.gen = generator
         self.dis = discriminator
-        self.voxel_dims = tuple(int(d) for d in voxel_dims)
+        self.voxel_dims = None if voxel_dims is None \
+            else tuple(int(d) for d in voxel_dims)
         self.cfg = cfg
         self.perceptual = perceptual
         self.g_tx = g_tx

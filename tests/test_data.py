@@ -1,0 +1,101 @@
+"""Paired dataset / augmentor / label-ops / loader tests."""
+import os
+
+import numpy as np
+import pytest
+
+from scenedreamer_tpu.data.paired_dataset import (AugmentConfig, Augmentor,
+                                                  DataLoader,
+                                                  PairedImageDataset,
+                                                  concat_labels,
+                                                  make_one_hot)
+
+
+@pytest.fixture(scope='module')
+def folder_root(tmp_path_factory):
+    import cv2
+    root = tmp_path_factory.mktemp('paired')
+    (root / 'images').mkdir()
+    (root / 'seg_maps').mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        img = rng.integers(0, 255, (300, 400, 3), np.uint8)
+        seg = rng.integers(0, 183, (300, 400), np.uint8)
+        cv2.imwrite(str(root / 'images' / f'{i:03d}.jpg'), img)
+        cv2.imwrite(str(root / 'seg_maps' / f'{i:03d}.png'), seg)
+    return str(root)
+
+
+def test_make_one_hot_dont_care():
+    seg = np.array([[0, 5], [182, 200]])
+    oh = make_one_hot(seg, 183, use_dont_care=True)
+    assert oh.shape == (2, 2, 184)
+    assert oh[1, 1, 183] == 1.0       # out-of-range -> dont care
+    assert oh[0, 0, 0] == 1.0
+    np.testing.assert_allclose(oh.sum(-1), 1.0)
+
+
+def test_concat_labels():
+    d = {'seg_maps': np.zeros((4, 4, 184), np.float32)}
+    d = concat_labels(d)
+    assert d['label'].shape == (4, 4, 184)
+
+
+def test_augmentor_joint_geometry():
+    aug = Augmentor(AugmentConfig(resize_smallest_side=64,
+                                  random_crop_h_w=(64, 64)))
+    rng = np.random.default_rng(0)
+    img = np.zeros((100, 200, 3), np.uint8)
+    img[:, 100:] = 255
+    seg = np.zeros((100, 200), np.uint8)
+    seg[:, 100:] = 7
+    a_img, a_seg = aug(img, seg, rng)
+    assert a_img.shape == (64, 64, 3)
+    assert a_seg.shape == (64, 64)
+    # boundary must stay aligned: white pixels <=> label 7
+    white = a_img[..., 0] > 127
+    np.testing.assert_array_equal(white, a_seg == 7)
+
+
+def test_dataset_and_loader(folder_root):
+    ds = PairedImageDataset(
+        folder_root, augment=AugmentConfig(resize_smallest_side=64,
+                                           random_crop_h_w=(64, 64)))
+    assert len(ds) == 6
+    item = ds[0]
+    assert item['images'].shape == (64, 64, 3)
+    assert item['images'].min() >= -1.0 and item['images'].max() <= 1.0
+    assert item['label'].shape == (64, 64, 184)
+
+    loader = DataLoader(ds, batch_size=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]['images'].shape == (2, 64, 64, 3)
+    assert batches[0]['label'].shape == (2, 64, 64, 184)
+
+    # host sharding partitions the data
+    l0 = DataLoader(ds, batch_size=1, shuffle=False, process_index=0,
+                    process_count=2)
+    l1 = DataLoader(ds, batch_size=1, shuffle=False, process_index=1,
+                    process_count=2)
+    assert len(l0) == 3 and len(l1) == 3
+
+    # epoch changes the shuffle order but keeps determinism
+    loader.set_epoch(1)
+    b1 = next(iter(loader))
+    loader.set_epoch(1)
+    b2 = next(iter(loader))
+    np.testing.assert_array_equal(b1['images'], b2['images'])
+
+
+def test_lmdb_roundtrip(folder_root, tmp_path):
+    pytest.importorskip('lmdb')
+    from scenedreamer_tpu.data.lmdb_utils import build_paired_lmdbs
+    n = build_paired_lmdbs(folder_root, str(tmp_path / 'db'))
+    assert n == 6
+    ds = PairedImageDataset(str(tmp_path / 'db'), dataset_type='lmdb',
+                            augment=AugmentConfig(
+                                resize_smallest_side=64,
+                                random_crop_h_w=(64, 64)))
+    assert len(ds) == 6
+    assert ds[0]['images'].shape == (64, 64, 3)

@@ -1,0 +1,99 @@
+"""Sharded training/rendering over the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scenedreamer_tpu.data.synthetic import make_batch, make_world
+from scenedreamer_tpu.models.discriminator import GANcraftDiscriminator
+from scenedreamer_tpu.models.generator import (GeneratorConfig,
+                                               SceneDreamerGenerator)
+from scenedreamer_tpu.parallel import mesh as pm
+from scenedreamer_tpu.train.trainer import GANTrainer, TrainerConfig
+
+TINY = GeneratorConfig(
+    style_dims=16, interm_style_dims=32, final_feat_dim=8,
+    pad=2, num_blocks_early_stop=4, num_samples=6,
+    hash_num_levels=4, hash_level_dim=4, hash_log2_size=10,
+    hash_desired_resolution=128, mlp_hidden=32, style_enc_num_filters=8)
+
+
+@pytest.fixture(scope='module')
+def world_and_batch():
+    world = make_world(size=64, seed=7, n_voronoi=20, boundary_detect=4)
+    batch = make_batch(world, batch_size=4, height=34, width=34,
+                       max_samples=4, pad=TINY.pad, seed=0)
+    return world, batch
+
+
+def test_mesh_construction():
+    m = pm.make_mesh()
+    assert m.devices.size == len(jax.devices())
+    m2 = pm.make_mesh(rays=2)
+    assert m2.shape['rays'] == 2
+    assert m2.shape['data'] == len(jax.devices()) // 2
+
+
+def test_shard_batch_specs(world_and_batch):
+    _, batch = world_and_batch
+    m = pm.make_mesh(rays=2)
+    sharded = pm.shard_batch(m, batch)
+    vs = sharded['voxel_id'].sharding.spec
+    assert vs[0] == 'data' and vs[1] == 'rays'
+    cs = sharded['cam_ori'].sharding.spec
+    assert cs[0] == 'data'
+    hf = sharded['height_field'].sharding.spec
+    assert hf[0] == 'data'
+
+
+def test_dp_train_step_matches_single_device(world_and_batch):
+    """The mesh-sharded jitted train step must produce the same metrics
+    as the unsharded one (GSPMD DP == serial math)."""
+    world, batch = world_and_batch
+    gen = SceneDreamerGenerator(cfg=TINY)
+    dis = GANcraftDiscriminator(num_labels=12, num_filters=8)
+    trainer = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig())
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(key, batch)
+
+    # single-device baseline
+    s1, m1 = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+
+    # DP x rays sharded
+    m = pm.make_mesh(rays=2)
+    state_r = pm.replicate(m, trainer.init_state(key, batch))
+    sharded = pm.shard_batch(m, batch)
+    s2, m2 = trainer.train_step(state_r, sharded, jax.random.PRNGKey(1))
+
+    assert np.allclose(float(m1['gen/total']), float(m2['gen/total']),
+                       rtol=2e-4), (m1['gen/total'], m2['gen/total'])
+    assert np.allclose(float(m1['dis/total']), float(m2['dis/total']),
+                       rtol=2e-4)
+    # params evolve identically
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(s1.g_params), jax.device_get(s2.g_params))
+    assert max(jax.tree_util.tree_leaves(d)) < 2e-4
+
+
+def test_sharded_generator_forward(world_and_batch):
+    """Pure rendering with rays sharded across the mesh."""
+    world, batch = world_and_batch
+    gen = SceneDreamerGenerator(cfg=TINY)
+    key = jax.random.PRNGKey(0)
+    params = gen.init({'params': key}, batch, world.dims, key,
+                      random_style=True)
+    m = pm.make_mesh(rays=4)
+    params_r = pm.replicate(m, params)
+    sharded = pm.shard_batch(m, batch)
+
+    @jax.jit
+    def fwd(p, b):
+        return gen.apply(p, b, world.dims, key,
+                         random_style=True)['fake_images']
+
+    img_sharded = fwd(params_r, sharded)
+    img_local = fwd(params, batch)
+    assert img_sharded.shape == img_local.shape
+    np.testing.assert_allclose(np.asarray(img_sharded),
+                               np.asarray(img_local), atol=2e-4)

@@ -1,0 +1,131 @@
+"""Camera rejection sampling + pseudo-GT + mask translation tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scenedreamer_tpu.data.synthetic import make_world
+from scenedreamer_tpu.models.spade import SPADEWrapper
+from scenedreamer_tpu.ops.masks import rand_crop, segmask_smooth
+from scenedreamer_tpu.scene.labels import get_label_translator
+from scenedreamer_tpu.train.sampling import (CameraBatchSampler,
+                                             CameraSamplerConfig,
+                                             PseudoGTGenerator,
+                                             TrainingBatchBuilder,
+                                             translate_masks)
+
+CFG = CameraSamplerConfig(cam_res=(40, 64), crop_size=(24, 24), pad=4,
+                          num_blocks_early_stop=4, max_rejections=8,
+                          camera_min_entropy=0.3)
+
+
+@pytest.fixture(scope='module')
+def world():
+    return make_world(size=64, seed=7, n_voronoi=20, boundary_detect=4)
+
+
+def test_segmask_smooth_preserves_onehot():
+    rng = np.random.default_rng(0)
+    m = jax.nn.one_hot(rng.integers(0, 5, (1, 16, 16)), 5,
+                       dtype=jnp.float32)
+    s = segmask_smooth(m, 5)
+    np.testing.assert_allclose(np.asarray(s.sum(-1)), 1.0)
+
+
+def test_rand_crop_bounds():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        c = rand_crop(rng, (19.5, 31.5), (40, 64), (28, 28))
+        assert c[0] <= 19.5 and c[1] <= 31.5
+        assert c[0] > 19.5 - 13 and c[1] > 31.5 - 37
+
+
+def test_camera_batch_sampler_shapes(world):
+    s = CameraBatchSampler(CFG)
+    rng = np.random.default_rng(0)
+    batch = s.sample(world, 2, rng)
+    h, w = CFG.crop_size[0] + CFG.pad, CFG.crop_size[1] + CFG.pad
+    assert batch['voxel_id'].shape == (2, h, w, 4)
+    assert batch['depth'].shape == (2, h, w, 4, 2)
+    assert batch['raydirs'].shape == (2, h, w, 3)
+    assert batch['cam_ori'].shape == (2, 3)
+    # accepted views must have some hits
+    assert bool(batch['hit_mask'].any())
+
+
+def test_translate_masks(world):
+    s = CameraBatchSampler(CFG)
+    rng = np.random.default_rng(1)
+    batch = s.sample(world, 1, rng)
+    trans = get_label_translator()
+    real_onehot = jax.nn.one_hot(
+        np.random.default_rng(0).integers(0, 184, (1, 28, 28)), 184,
+        dtype=jnp.float32)
+    fake, real = translate_masks(trans, batch['voxel_id'], real_onehot,
+                                 pad=CFG.pad, label_smooth_dia=5)
+    assert fake.shape == (1, 24, 24, 12)
+    assert real.shape == (1, 28, 28, 12)
+    np.testing.assert_allclose(np.asarray(fake.sum(-1)), 1.0)
+    np.testing.assert_allclose(np.asarray(real.sum(-1)), 1.0)
+
+
+def test_full_batch_builder_with_spade(world):
+    spade = SPADEWrapper(num_labels=185, out_size=256, num_filters=4,
+                         style_dims=16)
+    seg0 = jax.nn.one_hot(jnp.zeros((1, 64, 64), jnp.int32), 185)
+    sp_vars = spade.init({'params': jax.random.PRNGKey(0),
+                          'style': jax.random.PRNGKey(1)},
+                         {'label': seg0}, random_style=True)
+
+    def spade_apply(masks, key):
+        return spade.apply(sp_vars, {'label': masks}, random_style=True,
+                           rngs={'style': key})['fake_images']
+
+    pgt = PseudoGTGenerator(spade_apply, pad=CFG.pad, spade_res=64,
+                            label_smooth_dia=5)
+    builder = TrainingBatchBuilder(CameraBatchSampler(CFG), pgt)
+    rng = np.random.default_rng(2)
+    data = {
+        'images': jnp.zeros((1, 28, 28, 3)),
+        'label': jax.nn.one_hot(
+            np.random.default_rng(1).integers(0, 184, (1, 28, 28)), 184,
+            dtype=jnp.float32),
+    }
+    batch = builder(data, world, rng, jax.random.PRNGKey(0))
+    assert batch['pseudo_real_img'].shape == (1, 24, 24, 3)
+    assert np.isfinite(np.asarray(batch['pseudo_real_img'])).all()
+    assert np.abs(np.asarray(batch['pseudo_real_img'])).max() <= 1.0
+    assert batch['fake_masks'].shape == (1, 24, 24, 12)
+    assert batch['real_masks'].shape == (1, 28, 28, 12)
+    assert batch['height_field'].shape[0] == 1
+
+
+def test_pseudo_gt_stochastic_relabel(world):
+    """With forced dice, sky pixels must change coco class."""
+    trans = get_label_translator()
+    s = CameraBatchSampler(CFG)
+    rng = np.random.default_rng(3)
+    batch = s.sample(world, 1, rng)
+
+    captured = {}
+
+    def spade_apply(masks, key):
+        captured['masks'] = masks
+        return jnp.zeros(masks.shape[:3] + (3,))
+
+    pgt = PseudoGTGenerator(spade_apply, pad=CFG.pad, resize_512=False,
+                            use_label_smooth_pgt=False)
+    pgt._jit = pgt._device_part   # un-jitted so the capture stays concrete
+    _ = pgt(batch['voxel_id'], rng, jax.random.PRNGKey(0),
+            deterministic=True)
+    det = np.argmax(np.asarray(captured['masks']), -1)
+    sky_id = trans.gglbl2ggid('sky')
+    if (det == sky_id).any():
+
+        class ForcedRng:
+            def random(self):
+                return 0.95
+        _ = pgt(batch['voxel_id'], ForcedRng(), jax.random.PRNGKey(0))
+        sub = np.argmax(np.asarray(captured['masks']), -1)
+        assert not (sub == sky_id).any()
+        assert (sub == trans.gglbl2ggid('fog')).any()
