@@ -164,7 +164,7 @@ class SceneDreamerGenerator(nn.Module):
     def render_pixels(self, key, voxel_id, depth, hit_mask, raydirs,
                       cam_ori, z, global_enc, voxel_dims,
                       num_samples=None, sample_depth_clip=None,
-                      deterministic=None, sky_avg=None):
+                      deterministic=None, sky_avg=None, field_extra=None):
         """Full per-pixel rendering pass (`scenedreamer.py:313-430`).
 
         Args:
@@ -228,7 +228,8 @@ class SceneDreamerGenerator(nn.Module):
         # ---- differentiable field + sky --------------------------------
         sigma, feat_c = self.field_features(worldcoord, voxel_dims,
                                             global_enc, raydirs_in, z,
-                                            mc_onehot)
+                                            mc_onehot,
+                                            **(field_extra or {}))
         if c.raw_noise_std > 0:
             sigma = sigma + jax.random.normal(k_noise, sigma.shape,
                                               sigma.dtype) * c.raw_noise_std
@@ -308,7 +309,7 @@ class SceneDreamerGenerator(nn.Module):
     # ------------------------------------------------------------------
 
     def __call__(self, data, voxel_dims, key, random_style=False,
-                 pad=None):
+                 pad=None, field_extra=None):
         """data dict (all NHWC):
             voxel_id [B,H,W,M] int32; depth [B,H,W,M,2]; hit_mask [B,H,W,M];
             raydirs [B,H,W,3]; cam_ori [B,3];
@@ -334,7 +335,8 @@ class SceneDreamerGenerator(nn.Module):
 
         out = self.render_pixels(
             k_render, data['voxel_id'], data['depth'], data['hit_mask'],
-            data['raydirs'], data['cam_ori'], z, global_enc, voxel_dims)
+            data['raydirs'], data['cam_ori'], z, global_enc, voxel_dims,
+            field_extra=field_extra)
         fake, fake_raw = self.refine(out['net_out'], z)
         if pad:
             fake = fake[:, pad // 2:-(pad // 2), pad // 2:-(pad // 2), :]
