@@ -92,9 +92,32 @@ def fbm3(x, y, z, octaves=1, persistence=0.5, lacunarity=2.0):
 
 def noise_map(size, res, seed, octaves=1, persistence=0.5, lacunarity=2.0):
     """2D noise field with the reference's parameterization
-    (`terrain_generator.py:89-102`): scale = size/res, seed as z-plane."""
+    (`terrain_generator.py:89-102`): scale = size/res, seed as z-plane.
+
+    Uses the native C++/OpenMP kernel (`native/simplex.cpp`) when it
+    compiles; identical output from the numpy path otherwise."""
     scale = size / res
+    out = _noise_map_native(size, scale, float(seed), octaves,
+                            persistence, lacunarity)
+    if out is not None:
+        return out
     ys, xs = np.mgrid[0:size, 0:size]
     return fbm3((xs + 0.1) / scale, ys / scale, np.float64(seed),
                 octaves=octaves, persistence=persistence,
                 lacunarity=lacunarity)
+
+
+def _noise_map_native(size, scale, z, octaves, persistence, lacunarity):
+    import ctypes
+    from scenedreamer_tpu.native import load_simplex
+    lib = load_simplex()
+    if lib is None:
+        return None
+    out = np.empty((size, size), np.float64)
+    perm = np.ascontiguousarray(_PERM, np.int64)
+    lib.fbm3_grid(
+        size, float(scale), float(z), int(octaves), float(persistence),
+        float(lacunarity),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
