@@ -50,9 +50,11 @@ class SNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_stats=False):
+        pad = (self.kernel_size - 1) // 2
         conv = nn.Conv(self.features,
                        (self.kernel_size, self.kernel_size),
-                       strides=(self.stride, self.stride), padding='SAME',
+                       strides=(self.stride, self.stride),
+                       padding=((pad, pad), (pad, pad)),
                        kernel_init=xavier_gain(),
                        bias_init=nn.initializers.zeros, dtype=self.dtype)
         if self.use_sn:

@@ -241,6 +241,7 @@ class SRTConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         conv = functools.partial(nn.Conv, kernel_size=(3, 3), use_bias=False,
+                                 padding=((1, 1), (1, 1)),
                                  kernel_init=kaiming_leaky_half(),
                                  dtype=self.dtype)
         x = jax.nn.relu(conv(self.hdim, strides=(1, 1))(x))
@@ -258,7 +259,7 @@ class ConditionalHashGrid(nn.Module):
     @nn.compact
     def __call__(self, height, semantic):
         conv = functools.partial(nn.Conv, kernel_size=(3, 3),
-                                 strides=(2, 2),
+                                 strides=(2, 2), padding=((1, 1), (1, 1)),
                                  kernel_init=kaiming_leaky_half(),
                                  bias_init=nn.initializers.zeros,
                                  dtype=self.dtype)
@@ -324,10 +325,12 @@ class StyleEncoder(nn.Module):
         if x.shape[1] != 256 or x.shape[2] != 256:
             x = jax.image.resize(x, (x.shape[0], 256, 256, x.shape[3]),
                                  'bilinear')
+        pad = self.kernel_size // 2
         conv = functools.partial(nn.Conv,
                                  kernel_size=(self.kernel_size,
                                               self.kernel_size),
                                  strides=(2, 2),
+                                 padding=((pad, pad), (pad, pad)),
                                  kernel_init=kaiming_leaky_half(),
                                  bias_init=nn.initializers.zeros,
                                  dtype=self.dtype)

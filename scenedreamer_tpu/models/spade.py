@@ -232,7 +232,7 @@ class SPADEStyleEncoder(nn.Module):
         for i, ch in enumerate([nf, 2 * nf, 4 * nf, 8 * nf, 8 * nf,
                                 8 * nf]):
             x = leaky_relu(nn.Conv(ch, (3, 3), strides=(2, 2),
-                                   padding='SAME',
+                                   padding=((1, 1), (1, 1)),
                                    kernel_init=xavier_gain(),
                                    name=f'layer{i + 1}')(x))
         x = x.reshape(x.shape[0], -1)

@@ -162,7 +162,13 @@ def hashgrid_encode(spec, table, x, bound=1.0):
     for lv in range(spec.num_levels):
         tl = jax.lax.slice_in_dim(table, int(offs[lv]), int(offs[lv + 1]),
                                   axis=0)
-        outs.append(_level_encode(spec, tl, x01, lv))
+        # remat: the gathered [N, 2^D, C] corner values would otherwise
+        # be saved as backward residuals — at D=5, L=16 that is tens of
+        # GB of HBM (4x tile-padded). Recomputing the gathers in the
+        # backward pass keeps them transient.
+        enc = jax.checkpoint(
+            lambda tl_, x_, lv_=lv: _level_encode(spec, tl_, x_, lv_))
+        outs.append(enc(tl, x01))
     out = jnp.concatenate(outs, axis=-1)
     out = jnp.where(oob, 0.0, out)
     return out.reshape(*prefix, spec.output_dim)

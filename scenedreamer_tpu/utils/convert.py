@@ -1,0 +1,219 @@
+"""torch -> flax checkpoint converters for reference-weight parity.
+
+Converts the reference's released checkpoints into this framework's
+parameter trees:
+
+  * `convert_scenedreamer_generator` — `scenedreamer_released.pt`
+    `net_G` weights -> `SceneDreamerGenerator` params (key mapping
+    documented inline; reference module definitions:
+    `generators/scenedreamer.py:29-64`, `gancraft_base.py:91-293`,
+    `model_utils/layers.py:6-271`, `gridencoder/grid.py:93-156`)
+  * `extract_tree_assets` — the PCG tree voxel models shipped inside
+    the released checkpoint (`scripts/pcg_cache.py:20,28`)
+  * `convert_vgg19` — torchvision VGG19 features for the perceptual
+    loss (delegates to `models/vgg.py`)
+
+Layout rules:
+  * torch Linear [out, in] == our `Dense` 'weight' — copied as-is
+  * torch Conv2d [O, I, kh, kw] -> flax kernel [kh, kw, I, O]
+  * ModLinear / AffineMod parameter names are identical by design
+  * flatten boundaries (StyleEncoder fc_mu/fc_var) are re-permuted
+    from torch's NCHW flatten to our NHWC flatten
+  * spectral-norm wrapped weights are folded: W <- W / sigma(W)
+    estimated from the stored u vector (or a power iteration)
+
+Host-side numpy only; torch tensors are accepted but converted with
+`np.asarray` (works for CPU torch without importing torch here).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+
+def _np(t):
+    try:
+        return np.asarray(t)
+    except Exception:          # torch tensor on non-cpu
+        return t.detach().cpu().numpy()
+
+
+def strip_prefixes(sd):
+    """Remove DDP/EMA wrappers: 'module.', 'averaged_model.'."""
+    out = {}
+    for k, v in sd.items():
+        for pre in ('module.', 'averaged_model.', 'model.'):
+            while k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = v
+    return out
+
+
+def fold_spectral_norm(sd):
+    """Replace `w_orig`/`w_u`(/`w_v`) triplets with w_orig / sigma
+    (torch spectral_norm stores these; one power-iteration estimate)."""
+    out = dict(sd)
+    for k in list(sd.keys()):
+        if k.endswith('weight_orig'):
+            base = k[:-len('_orig')]
+            w = _np(sd[k]).astype(np.float64)
+            u = _np(sd.get(base + '_u')) if base + '_u' in sd else None
+            mat = w.reshape(w.shape[0], -1)
+            if u is None:
+                u = np.random.default_rng(0).normal(size=mat.shape[0])
+                u /= np.linalg.norm(u)
+            v = mat.T @ u
+            v /= max(np.linalg.norm(v), 1e-12)
+            sigma = float(u @ (mat @ v))
+            out[base] = (w / max(sigma, 1e-12)).astype(np.float32)
+            out.pop(k, None)
+            out.pop(base + '_u', None)
+            out.pop(base + '_v', None)
+    return out
+
+
+def t2f_conv(w):
+    """[O, I, kh, kw] -> [kh, kw, I, O]."""
+    return jnp.asarray(_np(w).transpose(2, 3, 1, 0))
+
+
+def t2f(w):
+    return jnp.asarray(_np(w))
+
+
+def _dense(sd, tk, bias=True):
+    out = {'weight': t2f(sd[tk + '.weight'])}
+    if bias and tk + '.bias' in sd:
+        out['bias'] = t2f(sd[tk + '.bias'])
+    return out
+
+
+def _modlinear(sd, tk):
+    out = {}
+    for name in ('weight', 'weight_alpha', 'bias_alpha', 'weight_beta',
+                 'bias_beta'):
+        k = f'{tk}.{name}'
+        if k in sd:
+            out[name] = t2f(sd[k])
+    return out
+
+
+def _conv(sd, tk, bias=True):
+    out = {'kernel': t2f_conv(sd[tk + '.weight'])}
+    if bias and tk + '.bias' in sd:
+        out['bias'] = t2f(sd[tk + '.bias'])
+    return out
+
+
+def convert_scenedreamer_generator(sd, style_enc_spatial=4):
+    """Reference net_G state dict -> {'params': ...} for
+    `SceneDreamerGenerator`."""
+    sd = fold_spectral_norm(strip_prefixes(sd))
+    p = {}
+
+    # hash grid (gridencoder GridEncoder.embeddings, grid.py:133)
+    p['hash_table'] = t2f(sd['hash_encoder.embeddings'])
+
+    # RenderMLP / LightningMLP (model_utils/layers.py:57-126)
+    rn = {}
+    rn['fc_1'] = _dense(sd, 'render_net.fc_1')
+    if 'render_net.fc_m_a.weight' in sd:
+        rn['fc_m_a'] = _dense(sd, 'render_net.fc_m_a', bias=False)
+    for i in (2, 3, 4, 6):
+        rn[f'fc_{i}'] = _modlinear(sd, f'render_net.fc_{i}')
+    if 'render_net.fc_viewdir.weight' in sd:
+        rn['fc_5'] = _dense(sd, 'render_net.fc_5', bias=False)
+        rn['fc_viewdir'] = _dense(sd, 'render_net.fc_viewdir',
+                                  bias=False)
+        rn['mod_5'] = _modlinear(sd, 'render_net.mod_5')
+    else:
+        rn['fc_5'] = _modlinear(sd, 'render_net.fc_5')
+    rn['fc_sigma'] = _dense(sd, 'render_net.fc_sigma')
+    rn['fc_out_c'] = _dense(sd, 'render_net.fc_out_c')
+    p['render_net'] = rn
+
+    # world encoder (model_utils/layers.py:25-55)
+    we = {'hconv_head': _conv(sd, 'world_encoder.hconv_head'),
+          'sconv_head': _conv(sd, 'world_encoder.sconv_head'),
+          'fc1': _dense(sd, 'world_encoder.fc1'),
+          'fc2': _dense(sd, 'world_encoder.fc2')}
+    i = 0
+    while f'world_encoder.conv_blocks.{i}.layers.0.weight' in sd:
+        we[f'block_{i + 1}'] = {
+            'Conv_0': _conv(sd, f'world_encoder.conv_blocks.{i}.layers.0',
+                            bias=False),
+            'Conv_1': _conv(sd, f'world_encoder.conv_blocks.{i}.layers.2',
+                            bias=False),
+        }
+        i += 1
+    p['world_encoder'] = we
+
+    # sky net (gancraft_base.py:129-169)
+    sky = {'fc_z_a': _dense(sd, 'sky_net.fc_z_a', bias=False),
+           'fc_out_c': _dense(sd, 'sky_net.fc_out_c')}
+    for i in (1, 2, 3, 4, 5):
+        sky[f'fc{i}'] = _dense(sd, f'sky_net.fc{i}')
+    p['sky_net'] = sky
+
+    # style net (gancraft_base.py:91-126): fc_layers.i -> fc_i
+    stn = {'fc_out': _dense(sd, 'style_net.fc_out')}
+    i = 0
+    while f'style_net.fc_layers.{i}.weight' in sd:
+        stn[f'fc_{i}'] = _dense(sd, f'style_net.fc_layers.{i}')
+        i += 1
+    p['style_net'] = stn
+
+    # style encoder (gancraft_base.py:228-293); NCHW->NHWC flatten fix
+    if 'style_encoder.layer1.layers.conv.weight' in sd or \
+            'style_encoder.layer1.weight' in sd:
+        se = {}
+        for i in range(1, 7):
+            for cand in (f'style_encoder.layer{i}.layers.conv',
+                         f'style_encoder.layer{i}'):
+                if cand + '.weight' in sd:
+                    se[f'layer{i}'] = _conv(sd, cand)
+                    break
+        for name in ('fc_mu', 'fc_var'):
+            for cand in (f'style_encoder.{name}.fc',
+                         f'style_encoder.{name}.layers.linear',
+                         f'style_encoder.{name}'):
+                if cand + '.weight' in sd:
+                    w = _np(sd[cand + '.weight'])     # [S, C*h*w]
+                    s_dim = w.shape[0]
+                    hw = style_enc_spatial
+                    c = w.shape[1] // (hw * hw)
+                    w = w.reshape(s_dim, c, hw, hw) \
+                         .transpose(0, 2, 3, 1).reshape(s_dim, -1)
+                    entry = {'weight': jnp.asarray(w)}
+                    if cand + '.bias' in sd:
+                        entry['bias'] = t2f(sd[cand + '.bias'])
+                    se[name] = entry
+                    break
+        p['style_encoder'] = se
+
+    # denoiser RenderCNN (gancraft_base.py:172-225)
+    dn = {'fc_z_cond': _dense(sd, 'denoiser.fc_z_cond')}
+    for name in ('conv1', 'conv2a', 'conv2b', 'conv3a', 'conv3b',
+                 'conv4a', 'conv4b', 'conv4'):
+        dn[name] = _conv(sd, f'denoiser.{name}')
+    p['denoiser'] = dn
+
+    return {'params': p}
+
+
+def extract_tree_assets(ckpt):
+    """Released-checkpoint 'assets' -> list of [Y, X, Z] int32 tree
+    voxel models (`scripts/pcg_cache.py:20,28`)."""
+    assets = ckpt['assets'] if isinstance(ckpt, dict) else ckpt
+    return [np.asarray(_np(a)).astype(np.int32) for a in assets]
+
+
+def convert_vgg19(sd):
+    from scenedreamer_tpu.models.vgg import convert_torch_vgg19
+    return convert_torch_vgg19(
+        {k: _np(v) for k, v in strip_prefixes(sd).items()})
+
+
+def load_torch_checkpoint(path):
+    """Load a torch .pt file to numpy-backed dicts (CPU)."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    return ckpt
