@@ -121,17 +121,29 @@ class TiledRenderer:
                 method=self.model.render_pixels)
             img, _ = self.model.apply(params, out['net_out'], z,
                                       method=self.model.refine)
+            # expected ray depth (reference inference_givenstyle_depth,
+            # `scenedreamer.py:636-851`): sum(w * t) / sum(w); sky -> inf
+            w = out['weights'][..., 0]                      # [B,h,w,S]
+            t = out['rand_depth'][..., 0]
+            tw = jnp.sum(w, axis=-1)
+            depth_exp = jnp.where(tw > 1e-6,
+                                  jnp.sum(w * t, axis=-1)
+                                  / jnp.maximum(tw, 1e-6), jnp.inf)
             p = self.pad
-            return img[:, p // 2:-(p // 2), p // 2:-(p // 2), :]
+            sl = slice(p // 2, -(p // 2))
+            return img[:, sl, sl, :], depth_exp[:, sl, sl]
         self._tile_fn = jax.jit(tile_fn)
 
     def style_z(self, style):
         """Raw 128-d style -> intermediate style."""
         return self._style_fn(self.params, style)
 
-    def frame(self, cam_pose, z, key=None):
+    def frame(self, cam_pose, z, key=None, return_aux=False):
         """Render one frame. cam_pose = (ori, dir, up, f_ratio) in world
-        coordinates (EvalCameraController convention)."""
+        coordinates (EvalCameraController convention). With
+        `return_aux`, also returns {'depth', 'first_voxel_id'}
+        (reference inference_givenstyle_depth,
+        `scenedreamer.py:636-851`)."""
         key = jax.random.PRNGKey(0) if key is None else key
         ori, cdir, up, f_ratio = cam_pose
         h, w = self.cam_res
@@ -154,19 +166,28 @@ class TiledRenderer:
 
         tile_in = self.tile + self.pad if self.tile else None
         if tile_in is None or (tile_in >= h and tile_in >= w):
-            img = self._tile_fn(self.params, vid, dep, hit, raydirs,
-                                cam_ori, z, self.global_enc, sky_avg,
-                                key)
+            img, dexp = self._tile_fn(self.params, vid, dep, hit,
+                                      raydirs, cam_ori, z,
+                                      self.global_enc, sky_avg, key)
+            if return_aux:
+                return np.asarray(img[0]), {
+                    'depth': np.asarray(dexp[0]),
+                    'first_voxel_id': np.asarray(
+                        vid[0, self.pad // 2:h - self.pad + self.pad
+                            // 2, self.pad // 2:w - self.pad
+                            + self.pad // 2, 0]),
+                }
             return np.asarray(img[0])
 
         out = np.zeros((self.res[0], self.res[1], 3), np.float32)
+        out_d = np.zeros((self.res[0], self.res[1]), np.float32)
         ys = list(range(0, self.res[0], self.tile))
         xs = list(range(0, self.res[1], self.tile))
         for y0 in ys:
             y0 = min(y0, h - tile_in)
             for x0 in xs:
                 x0 = min(x0, w - tile_in)
-                img = self._tile_fn(
+                img, dexp = self._tile_fn(
                     self.params,
                     vid[:, y0:y0 + tile_in, x0:x0 + tile_in],
                     dep[:, y0:y0 + tile_in, x0:x0 + tile_in],
@@ -175,6 +196,15 @@ class TiledRenderer:
                     cam_ori, z, self.global_enc, sky_avg, key)
                 out[y0:y0 + self.tile, x0:x0 + self.tile] = \
                     np.asarray(img[0])
+                out_d[y0:y0 + self.tile, x0:x0 + self.tile] = \
+                    np.asarray(dexp[0])
+        if return_aux:
+            p0 = self.pad // 2
+            return out, {
+                'depth': out_d,
+                'first_voxel_id': np.asarray(
+                    vid[0, p0:p0 + self.res[0], p0:p0 + self.res[1], 0]),
+            }
         return out
 
 
@@ -183,7 +213,7 @@ def render_trajectory(model, params, world, style, output_dir,
                       num_samples=40, num_blocks_early_stop=6,
                       sample_depth=3.0, pad=30, tile_size=128,
                       resolution_hw=(540, 960), fps=10, seed=1,
-                      write_frames=True):
+                      write_frames=True, save_depth=False):
     """Full inference: camera trajectory -> rgb_render/*.png + .mp4
     (`scenedreamer.py:479-632`). Returns the list of rendered frames."""
     output_dir = os.path.join(output_dir, 'rgb_render')
@@ -214,10 +244,30 @@ def render_trajectory(model, params, world, style, output_dir,
     video = VideoWriter(output_dir + '.mp4', fps=fps)
     frames = []
     for i, pose in enumerate(ctl):
-        img = renderer.frame(pose, z, key=jax.random.PRNGKey(seed + i))
+        if save_depth:
+            img, aux = renderer.frame(pose, z,
+                                      key=jax.random.PRNGKey(seed + i),
+                                      return_aux=True)
+        else:
+            img = renderer.frame(pose, z,
+                                 key=jax.random.PRNGKey(seed + i))
         rgb = to_uint8(img)
         if write_frames:
             write_png(os.path.join(output_dir, f'{i:05d}.png'), rgb)
+        if save_depth:
+            # depth colormap + first-hit voxel-id shading
+            # (`scenedreamer.py:636-851`)
+            from scenedreamer_tpu.scene.labels import get_label_translator
+            from scenedreamer_tpu.utils.visualization import colormap
+            d = aux['depth'].copy()
+            d[~np.isfinite(d)] = np.nan
+            dvis = (colormap(d) * 255).astype(np.uint8)
+            write_png(os.path.join(output_dir, f'{i:05d}_depth.png'),
+                      dvis)
+            vid_vis = get_label_translator().mc_color(
+                aux['first_voxel_id'])
+            write_png(os.path.join(output_dir, f'{i:05d}_voxel.png'),
+                      np.ascontiguousarray(vid_vis))
         video.append(rgb)
         frames.append(rgb)
     video.close()

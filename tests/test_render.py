@@ -61,11 +61,13 @@ def test_render_trajectory_outputs(model_world, tmp_path):
     frames = render_trajectory(
         model, params, world, style, str(tmp_path), camera_mode=1,
         cam_maxstep=3, num_samples=6, num_blocks_early_stop=4, pad=6,
-        tile_size=None, resolution_hw=(24, 32), fps=5)
+        tile_size=None, resolution_hw=(24, 32), fps=5, save_depth=True)
     assert len(frames) == 3
     assert frames[0].shape == (24, 32, 3)
     out = tmp_path / 'rgb_render'
     assert (out / '00000.png').exists()
+    assert (out / '00000_depth.png').exists()
+    assert (out / '00000_voxel.png').exists()
     assert (out / 'semantic_map.png').exists()
     assert (out / 'height_map.png').exists()
     assert (out / 'style.npy').exists()
