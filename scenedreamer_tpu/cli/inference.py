@@ -57,6 +57,9 @@ def main(argv=None):
     p.add_argument('--pad', type=int, default=30)
     p.add_argument('--tile_size', type=int, default=128)
     p.add_argument('--fps', type=int, default=10)
+    p.add_argument('--save_depth', action='store_true',
+                   help='also write depth + voxel-id frames '
+                        '(reference inference_givenstyle_depth)')
     p.add_argument('--platform', default=None,
                    help="force a jax platform (e.g. 'cpu')")
     a = p.parse_args(argv)
@@ -95,7 +98,8 @@ def main(argv=None):
         cam_ang=a.cam_ang, num_samples=a.num_samples,
         num_blocks_early_stop=a.num_blocks_early_stop,
         sample_depth=a.sample_depth, pad=a.pad, tile_size=a.tile_size,
-        resolution_hw=tuple(a.resolution), fps=a.fps, seed=a.seed)
+        resolution_hw=tuple(a.resolution), fps=a.fps, seed=a.seed,
+        save_depth=a.save_depth)
     print(f'[inference] wrote {a.output_dir}/rgb_render(.mp4)')
 
 

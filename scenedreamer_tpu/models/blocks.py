@@ -1,0 +1,343 @@
+"""Composable layer library: order-string Conv/Linear/Res blocks,
+up/fir/down resampling, fused bias+activation.
+
+Capability parity with the reference layer library (SURVEY.md §2.8):
+  * `Conv2dBlock` / `LinearBlock` with order strings ('CNA', 'NAC',
+    'ANC', 'CAN', ...) over Conv/Norm/Activation
+    (`imaginaire/layers/conv.py:16-140`)
+  * `Res2dBlock` with learned shortcut and up/down variants
+    (`imaginaire/layers/residual.py`)
+  * activation norms: none / batch(frozen) / instance / layer / group
+    (`imaginaire/layers/activation_norm.py` get_activation_norm_layer);
+    SPADE + adaptive variants live in `models/spade.py`
+  * weight norms: none / spectral (`imaginaire/layers/weight_norm.py`);
+    weight demodulation is covered by `ModLinear` in `models/layers.py`
+  * `upfirdn2d` / `Blur` / `BlurUpsample` / `BlurDownsample`
+    (`imaginaire/third_party/upfirdn2d`, StyleGAN2 resampling)
+  * `bias_act` (`imaginaire/third_party/bias_act`): on TPU the bias+act
+    is a plain jnp expression — XLA fuses it into the producing matmul,
+    which is exactly what the CUDA "fused" kernel hand-writes
+  * flow-model ops channelnorm / correlation / resample2d
+    (`third_party/{channelnorm,correlation,resample2d}`) — unused by
+    any SceneDreamer model (no imports outside their own dirs;
+    SURVEY.md §2.6) and intentionally omitted.
+
+TPU-native: everything is jnp/flax NHWC; the FIR resampling is a
+depthwise conv XLA maps onto fused convolution hardware paths.
+"""
+import functools
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from scenedreamer_tpu.models.discriminator import xavier_gain
+
+
+# ---------------------------------------------------------------------------
+# bias_act (`third_party/bias_act/bias_act.py:12-39`)
+# ---------------------------------------------------------------------------
+
+_ACTS = {
+    'linear': (lambda x: x, 1.0),
+    'relu': (jax.nn.relu, np.sqrt(2.0)),
+    'lrelu': (lambda x: jax.nn.leaky_relu(x, 0.2), np.sqrt(2.0)),
+    'leakyrelu': (lambda x: jax.nn.leaky_relu(x, 0.2), 1.0),
+    'tanh': (jnp.tanh, 1.0),
+    'sigmoid': (jax.nn.sigmoid, 1.0),
+    'elu': (jax.nn.elu, 1.0),
+    'selu': (jax.nn.selu, 1.0),
+    'softplus': (jax.nn.softplus, 1.0),
+    'swish': (jax.nn.silu, np.sqrt(2.0)),
+}
+
+
+def bias_act(x, b=None, act='linear', gain=None, clamp=None):
+    """Fused bias + activation + gain + clamp semantics
+    (`bias_act.py:59-86` reference implementation)."""
+    fn, def_gain = _ACTS[act]
+    if b is not None:
+        x = x + b.reshape((1,) * (x.ndim - 1) + (-1,))
+    x = fn(x)
+    g = def_gain if gain is None else gain
+    if g != 1.0:
+        x = x * g
+    if clamp is not None and clamp >= 0:
+        x = jnp.clip(x, -clamp, clamp)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# upfirdn2d (`third_party/upfirdn2d/upfirdn2d.py`)
+# ---------------------------------------------------------------------------
+
+def setup_filter(f=None, normalize=True, gain=1.0, separable=None):
+    """1D/2D FIR kernel -> normalized 2D filter (default [1,3,3,1])."""
+    if f is None:
+        f = [1.0, 3.0, 3.0, 1.0]
+    f = np.asarray(f, np.float32)
+    if f.ndim == 1:
+        f = np.outer(f, f)
+    if normalize:
+        f = f / f.sum()
+    return f * gain
+
+
+def upfirdn2d(x, f, up=1, down=1, padding=0, gain=1.0):
+    """Upsample (zero-stuff) -> FIR filter -> downsample, NHWC
+    (contract of `upfirdn2d.py` with the CUDA kernel replaced by a
+    depthwise conv)."""
+    b, h, w, c = x.shape
+    if isinstance(padding, int):
+        padding = (padding, padding, padding, padding)  # l r t b
+    px0, px1, py0, py1 = padding
+
+    if up > 1:
+        z = jnp.zeros((b, h, up, w, up, c), x.dtype)
+        z = z.at[:, :, 0, :, 0, :].set(x)
+        x = z.reshape(b, h * up, w * up, c)
+    x = jnp.pad(x, ((0, 0), (max(py0, 0), max(py1, 0)),
+                    (max(px0, 0), max(px1, 0)), (0, 0)))
+    if min(px0, px1, py0, py1) < 0:
+        x = x[:, max(-py0, 0):x.shape[1] - max(-py1, 0),
+              max(-px0, 0):x.shape[2] - max(-px1, 0)]
+
+    fh, fw = f.shape
+    kern = jnp.asarray(f[::-1, ::-1] * (gain * (up ** 2)),
+                       x.dtype)[..., None, None]          # [fh, fw, 1, 1]
+    kern = jnp.tile(kern, (1, 1, 1, x.shape[-1]))
+    y = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=x.shape[-1])
+    if down > 1:
+        y = y[:, ::down, ::down]
+    return y
+
+
+class Blur(nn.Module):
+    """FIR blur, shape-preserving (`upfirdn2d.py` Blur module)."""
+    kernel: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        f = setup_filter(self.kernel)
+        p = f.shape[0] - 1
+        return upfirdn2d(x, f, padding=(p // 2, p - p // 2, p // 2,
+                                        p - p // 2))
+
+
+class BlurUpsample(nn.Module):
+    kernel: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        f = setup_filter(self.kernel)
+        p = f.shape[0] - 2
+        return upfirdn2d(x, f, up=2, gain=1.0,
+                         padding=((p + 1) // 2 + 1, p // 2,
+                                  (p + 1) // 2 + 1, p // 2))
+
+
+class BlurDownsample(nn.Module):
+    kernel: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        f = setup_filter(self.kernel)
+        p = f.shape[0] - 2
+        return upfirdn2d(x, f, down=2,
+                         padding=((p + 1) // 2, p // 2,
+                                  (p + 1) // 2, p // 2))
+
+
+# ---------------------------------------------------------------------------
+# activation norms (`layers/activation_norm.py` get_activation_norm_layer)
+# ---------------------------------------------------------------------------
+
+class _FrozenBatchNorm2d(nn.Module):
+    features: int
+    affine: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = self.variable('batch_stats', 'mean',
+                             lambda: jnp.zeros((self.features,)))
+        var = self.variable('batch_stats', 'var',
+                            lambda: jnp.ones((self.features,)))
+        y = (x - mean.value) * jax.lax.rsqrt(var.value + self.eps)
+        if self.affine:
+            scale = self.param('scale', nn.initializers.ones,
+                               (self.features,))
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,))
+            y = y * scale + bias
+        return y
+
+
+def make_norm(norm_type, features):
+    """Norm factory; None for 'none'."""
+    if norm_type in (None, 'none', ''):
+        return None
+    if norm_type in ('batch', 'sync_batch'):
+        return _FrozenBatchNorm2d(features)
+    if norm_type == 'instance':
+        return nn.GroupNorm(num_groups=features, use_bias=False,
+                            use_scale=False)
+    if norm_type == 'layer':
+        return nn.LayerNorm()
+    if norm_type == 'layer_2d':
+        return nn.LayerNorm(reduction_axes=(-3, -2, -1))
+    if norm_type == 'group':
+        return nn.GroupNorm(num_groups=min(32, features))
+    raise ValueError(f'unknown activation norm {norm_type}')
+
+
+# ---------------------------------------------------------------------------
+# Conv2dBlock / LinearBlock / Res2dBlock (`layers/conv.py`, `residual.py`)
+# ---------------------------------------------------------------------------
+
+class Conv2dBlock(nn.Module):
+    """Order-string composable conv block (`layers/conv.py:16-140`).
+
+    order: permutation of C (conv), N (norm), A (activation); e.g.
+    'CNA' (default), 'NAC' (pre-act), 'ANC'.
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    weight_norm_type: str = 'none'       # 'none' | 'spectral'
+    activation_norm_type: str = 'none'
+    nonlinearity: str = 'leakyrelu'
+    order: str = 'CNA'
+    blur: bool = False                   # pre-conv FIR blur
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats=False):
+        pad = (self.kernel_size - 1) // 2
+        conv = nn.Conv(self.features,
+                       (self.kernel_size, self.kernel_size),
+                       strides=(self.stride, self.stride),
+                       padding=((pad, pad), (pad, pad)),
+                       use_bias=self.use_bias,
+                       kernel_init=xavier_gain(),
+                       dtype=self.dtype, name='conv')
+        in_f = x.shape[-1]
+
+        def apply_conv(h):
+            if self.blur and self.stride == 2:
+                h = Blur(name='blur')(h)
+            if self.weight_norm_type == 'spectral':
+                return nn.SpectralNorm(
+                    conv, collection_name='spectral_stats')(
+                    h, update_stats=update_stats)
+            return conv(h)
+
+        for i, op in enumerate(self.order.upper()):
+            if op == 'C':
+                x = apply_conv(x)
+            elif op == 'N':
+                pre_conv = 'C' not in self.order.upper()[:i]
+                norm = make_norm(self.activation_norm_type,
+                                 in_f if pre_conv else self.features)
+                if norm is not None:
+                    x = norm(x)
+            elif op == 'A':
+                if self.nonlinearity not in (None, 'none', ''):
+                    key = {'leakyrelu': 'leakyrelu',
+                           'relu': 'relu', 'tanh': 'tanh',
+                           'sigmoid': 'sigmoid', 'elu': 'elu',
+                           'softplus': 'softplus'}.get(
+                        self.nonlinearity, self.nonlinearity)
+                    x = bias_act(x, act=key)
+            else:
+                raise ValueError(f'bad order char {op}')
+        return x
+
+
+class LinearBlock(nn.Module):
+    """Order-string linear block (`layers/conv.py` LinearBlock)."""
+    features: int
+    use_bias: bool = True
+    nonlinearity: str = 'none'
+    order: str = 'CNA'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dense = nn.Dense(self.features, use_bias=self.use_bias,
+                         kernel_init=xavier_gain(), dtype=self.dtype,
+                         name='fc')
+        for op in self.order.upper():
+            if op == 'C':
+                x = dense(x)
+            elif op == 'A' and self.nonlinearity not in (None, 'none',
+                                                         ''):
+                x = bias_act(x, act=self.nonlinearity)
+        return x
+
+
+class Res2dBlock(nn.Module):
+    """Residual conv block with learned shortcut
+    (`layers/residual.py` Res2dBlock)."""
+    features: int
+    kernel_size: int = 3
+    weight_norm_type: str = 'none'
+    activation_norm_type: str = 'none'
+    nonlinearity: str = 'leakyrelu'
+    order: str = 'CNACNA'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats=False):
+        half = len(self.order) // 2
+        block = functools.partial(
+            Conv2dBlock, self.features, kernel_size=self.kernel_size,
+            weight_norm_type=self.weight_norm_type,
+            activation_norm_type=self.activation_norm_type,
+            nonlinearity=self.nonlinearity, dtype=self.dtype)
+        h = block(order=self.order[:half], name='conv_block_0')(
+            x, update_stats)
+        h = block(order=self.order[half:], name='conv_block_1')(
+            h, update_stats)
+        if x.shape[-1] != self.features:
+            x = Conv2dBlock(self.features, kernel_size=1,
+                            use_bias=False,
+                            weight_norm_type=self.weight_norm_type,
+                            nonlinearity='none', order='C',
+                            dtype=self.dtype, name='conv_block_s')(
+                x, update_stats)
+        return h + x
+
+
+class Res2dBlockDown(nn.Module):
+    """Residual block with stride-2 (blur-)downsample
+    (`layers/residual.py` DownRes2dBlock)."""
+    features: int
+    kernel_size: int = 3
+    weight_norm_type: str = 'none'
+    nonlinearity: str = 'leakyrelu'
+    blur: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats=False):
+        h = Conv2dBlock(self.features, self.kernel_size,
+                        weight_norm_type=self.weight_norm_type,
+                        nonlinearity=self.nonlinearity, order='AC',
+                        dtype=self.dtype, name='c0')(x, update_stats)
+        h = Conv2dBlock(self.features, self.kernel_size, stride=2,
+                        weight_norm_type=self.weight_norm_type,
+                        nonlinearity=self.nonlinearity, order='AC',
+                        blur=self.blur, dtype=self.dtype,
+                        name='c1')(h, update_stats)
+        xs = Conv2dBlock(self.features, 1, stride=2, use_bias=False,
+                         weight_norm_type=self.weight_norm_type,
+                         nonlinearity='none', order='C', blur=self.blur,
+                         dtype=self.dtype, name='cs')(x, update_stats)
+        return h + xs

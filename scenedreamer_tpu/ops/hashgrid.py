@@ -141,22 +141,8 @@ def _level_encode(spec, table_level, x, level):
     return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
 
 
-def hashgrid_encode(spec, table, x, bound=1.0):
-    """Encode points.
-
-    Args:
-        spec: HashGridSpec.
-        table: [table_size, level_dim] parameter array.
-        x: [..., input_dim] coordinates in [-bound, bound].
-
-    Returns:
-        [..., num_levels * level_dim] features; zero for out-of-bound points.
-    """
-    prefix = x.shape[:-1]
-    x = x.reshape(-1, spec.input_dim)
-    x01 = (x + bound) / (2.0 * bound)
-    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True)
-
+def _encode_flat(spec, table, x01):
+    """[N, D] in [0,1] -> [N, L*C]."""
     offs = spec.offsets()
     outs = []
     for lv in range(spec.num_levels):
@@ -169,6 +155,38 @@ def hashgrid_encode(spec, table, x, bound=1.0):
         enc = jax.checkpoint(
             lambda tl_, x_, lv_=lv: _level_encode(spec, tl_, x_, lv_))
         outs.append(enc(tl, x01))
-    out = jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def hashgrid_encode(spec, table, x, bound=1.0, chunk=131072):
+    """Encode points.
+
+    Args:
+        spec: HashGridSpec.
+        table: [table_size, level_dim] parameter array.
+        x: [..., input_dim] coordinates in [-bound, bound].
+        chunk: points per sequential chunk (None = single shot). The
+            per-point corner index/weight intermediates are O(2^D * D)
+            and 4x tile-padded on TPU; chunking with `lax.map` bounds
+            peak HBM to O(chunk) regardless of ray count (the tile loop
+            equivalent the CUDA kernel gets from its grid).
+
+    Returns:
+        [..., num_levels * level_dim] features; zero for out-of-bound points.
+    """
+    prefix = x.shape[:-1]
+    x = x.reshape(-1, spec.input_dim)
+    n = x.shape[0]
+    x01 = (x + bound) / (2.0 * bound)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True)
+
+    if chunk is None or n <= chunk:
+        out = _encode_flat(spec, table, x01)
+    else:
+        pad = (-n) % chunk
+        xp = jnp.pad(x01, ((0, pad), (0, 0)))
+        xc = xp.reshape(-1, chunk, spec.input_dim)
+        out = jax.lax.map(lambda xi: _encode_flat(spec, table, xi), xc)
+        out = out.reshape(-1, spec.output_dim)[:n]
     out = jnp.where(oob, 0.0, out)
     return out.reshape(*prefix, spec.output_dim)

@@ -1,0 +1,94 @@
+"""Layer library: upfirdn2d/Blur, bias_act, Conv/Linear/Res blocks."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scenedreamer_tpu.models.blocks import (bias_act, Blur, BlurDownsample,
+                                            BlurUpsample, Conv2dBlock,
+                                            LinearBlock, Res2dBlock,
+                                            Res2dBlockDown, setup_filter,
+                                            upfirdn2d)
+
+
+def test_bias_act_semantics():
+    x = jnp.asarray([-1.0, 0.0, 2.0])
+    b = jnp.asarray([1.0])
+    y = bias_act(x[:, None], b, act='lrelu')
+    exp = jax.nn.leaky_relu(x + 1.0, 0.2) * np.sqrt(2.0)
+    np.testing.assert_allclose(np.asarray(y[:, 0]), np.asarray(exp),
+                               rtol=1e-6)
+    y2 = bias_act(x, act='linear', clamp=1.0)
+    assert float(y2.max()) == 1.0
+
+
+def test_upfirdn_identity_with_delta():
+    """A delta filter must reproduce the input exactly."""
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(1, 8, 8, 3)).astype(np.float32))
+    f = np.zeros((1, 1), np.float32)
+    f[0, 0] = 1.0
+    y = upfirdn2d(x, f)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_blur_preserves_shape_and_mean():
+    x = jnp.ones((1, 16, 16, 2))
+    y = Blur().apply({}, x)
+    assert y.shape == x.shape
+    # interior of a constant image stays constant under a normalized FIR
+    np.testing.assert_allclose(np.asarray(y[0, 4:-4, 4:-4]), 1.0,
+                               rtol=1e-6)
+
+
+def test_blur_up_down_shapes():
+    x = jnp.ones((1, 16, 16, 2))
+    up = BlurUpsample().apply({}, x)
+    assert up.shape == (1, 32, 32, 2)
+    down = BlurDownsample().apply({}, x)
+    assert down.shape == (1, 8, 8, 2)
+
+
+@pytest.mark.parametrize('order', ['CNA', 'NAC', 'ANC', 'CAN'])
+def test_conv2dblock_orders(order):
+    x = jnp.ones((1, 8, 8, 4))
+    blk = Conv2dBlock(6, order=order, activation_norm_type='instance')
+    vars_ = blk.init(jax.random.PRNGKey(0), x)
+    y = blk.apply(vars_, x)
+    assert y.shape == (1, 8, 8, 6)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_conv2dblock_spectral():
+    x = jnp.ones((2, 8, 8, 4))
+    blk = Conv2dBlock(6, weight_norm_type='spectral')
+    vars_ = blk.init(jax.random.PRNGKey(0), x)
+    assert 'spectral_stats' in vars_
+    y, mut = blk.apply(vars_, x, update_stats=True,
+                       mutable=['spectral_stats'])
+    assert y.shape == (2, 8, 8, 6)
+
+
+def test_linear_and_res_blocks():
+    x = jnp.ones((2, 10))
+    lb = LinearBlock(5, nonlinearity='relu', order='CA')
+    y = lb.apply(lb.init(jax.random.PRNGKey(0), x), x)
+    assert y.shape == (2, 5)
+
+    img = jnp.ones((1, 8, 8, 4))
+    rb = Res2dBlock(8, order='NACNAC', activation_norm_type='instance')
+    vars_ = rb.init(jax.random.PRNGKey(0), img)
+    out = rb.apply(vars_, img)
+    assert out.shape == (1, 8, 8, 8)
+    assert 'conv_block_s' in vars_['params']   # learned shortcut
+
+    rd = Res2dBlockDown(8)
+    vars_ = rd.init(jax.random.PRNGKey(0), img)
+    out = rd.apply(vars_, img)
+    assert out.shape == (1, 4, 4, 8)
+
+
+def test_setup_filter_normalized():
+    f = setup_filter()
+    assert f.shape == (4, 4)
+    np.testing.assert_allclose(f.sum(), 1.0, rtol=1e-6)

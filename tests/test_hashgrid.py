@@ -126,3 +126,27 @@ def test_hashgrid_gradients_flow_to_table_and_inputs(rng):
     num = (loss(table, x_p) - loss(table, x_m)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(gx)[0, 4], float(num),
                                rtol=0.05, atol=1e-4)
+
+
+def test_chunked_matches_unchunked():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenedreamer_tpu.ops.hashgrid import (HashGridSpec,
+                                               hashgrid_encode,
+                                               init_hashgrid_table)
+    spec = HashGridSpec.create(input_dim=3, num_levels=4, level_dim=2,
+                               log2_hashmap_size=8, desired_resolution=64)
+    table = init_hashgrid_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1000, 3),
+                           minval=-1, maxval=1)
+    a = hashgrid_encode(spec, table, x, chunk=None)
+    b = hashgrid_encode(spec, table, x, chunk=256)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    ga = jax.grad(lambda t: jnp.sum(
+        hashgrid_encode(spec, t, x, chunk=None) ** 2))(table)
+    gb = jax.grad(lambda t: jnp.sum(
+        hashgrid_encode(spec, t, x, chunk=256) ** 2))(table)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               atol=1e-5)
