@@ -141,8 +141,64 @@ def _level_encode(spec, table_level, x, level):
     return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
 
 
+def _all_levels_hashed_uniform(spec):
+    """True when every level overflows into hash mode and has the same
+    capped table size (the flagship D=5 config) — enables the scan path."""
+    offs = spec.offsets()
+    sizes = set(int(offs[i + 1] - offs[i])
+                for i in range(spec.num_levels))
+    if len(sizes) != 1 or spec.gridtype != 'hash':
+        return False
+    for lv in range(spec.num_levels):
+        res, _ = spec.level_resolution(lv)
+        side = res if spec.align_corners else res + 1
+        if side ** spec.input_dim <= spec.max_params:
+            return False
+    return True
+
+
+def _encode_flat_scan(spec, table, x01):
+    """All-hash uniform-size levels as ONE lax.scan: a single compiled
+    level body instead of num_levels unrolled subgraphs (compiles in
+    seconds where the unrolled graph takes tens of minutes AOT), with
+    the gathered corners transient in fwd AND bwd via remat."""
+    d = spec.input_dim
+    lvls = spec.num_levels
+    size = spec.table_size // lvls
+    table3 = table.reshape(lvls, size, spec.level_dim)
+    scales = jnp.asarray([spec.level_resolution(lv)[1]
+                          for lv in range(lvls)], jnp.float32)
+    bits_j = jnp.asarray(_corner_bits(d), jnp.uint32)        # [2^D, D]
+    primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
+    offset = 0.0 if spec.align_corners else 0.5
+
+    @jax.checkpoint
+    def body(carry, inp):
+        tl, scale = inp
+        pos = x01 * scale + offset
+        pos_grid = jnp.floor(pos)
+        frac = pos - pos_grid
+        corner = pos_grid.astype(jnp.uint32)[:, None, :] + bits_j[None]
+        w = jnp.where(bits_j[None].astype(bool), frac[:, None, :],
+                      1.0 - frac[:, None, :])
+        w = jnp.prod(w, axis=-1)                              # [N, 2^D]
+        h = jnp.zeros(corner.shape[:-1], jnp.uint32)
+        for dd in range(d):
+            h = h ^ (corner[..., dd] * primes[dd])
+        idx = (h % jnp.uint32(size)).astype(jnp.int32)
+        vals = jnp.take(tl, idx, axis=0)                      # [N,2^D,C]
+        out_l = jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+        return carry, out_l
+
+    _, outs = jax.lax.scan(body, None, (table3, scales))      # [L, N, C]
+    return outs.transpose(1, 0, 2).reshape(x01.shape[0],
+                                           spec.output_dim)
+
+
 def _encode_flat(spec, table, x01):
     """[N, D] in [0,1] -> [N, L*C]."""
+    if _all_levels_hashed_uniform(spec):
+        return _encode_flat_scan(spec, table, x01)
     offs = spec.offsets()
     outs = []
     for lv in range(spec.num_levels):
@@ -158,7 +214,7 @@ def _encode_flat(spec, table, x01):
     return jnp.concatenate(outs, axis=-1)
 
 
-def hashgrid_encode(spec, table, x, bound=1.0, chunk=131072):
+def hashgrid_encode(spec, table, x, bound=1.0, chunk=None):
     """Encode points.
 
     Args:

@@ -150,3 +150,34 @@ def test_chunked_matches_unchunked():
         hashgrid_encode(spec, t, x, chunk=256) ** 2))(table)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                atol=1e-5)
+
+
+def test_scan_path_matches_unrolled():
+    """The uniform-levels lax.scan fast path must equal the unrolled
+    per-level path (flagship D=5 uses the scan path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenedreamer_tpu.ops import hashgrid as hg
+    spec = hg.HashGridSpec.create(input_dim=5, num_levels=4, level_dim=2,
+                                  log2_hashmap_size=10,
+                                  desired_resolution=256)
+    assert hg._all_levels_hashed_uniform(spec)
+    table = hg.init_hashgrid_table(jax.random.PRNGKey(0), spec)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, 5),
+                           minval=0.01, maxval=0.99)
+    a = hg._encode_flat_scan(spec, table, x)
+    # force the unrolled path
+    outs = []
+    offs = spec.offsets()
+    for lv in range(spec.num_levels):
+        tl = jax.lax.slice_in_dim(table, int(offs[lv]),
+                                  int(offs[lv + 1]), axis=0)
+        outs.append(hg._level_encode(spec, tl, x, lv))
+    b = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    ga = jax.grad(lambda t: jnp.sum(
+        hg._encode_flat_scan(spec, t, x) ** 2))(table)
+    assert np.isfinite(np.asarray(ga)).all()
+    assert float(jnp.abs(ga).sum()) > 0
