@@ -19,6 +19,11 @@ import os
 import sys
 import time
 
+
+def _log(msg):
+    print(f'[bench] {time.strftime("%H:%M:%S")} {msg}', file=sys.stderr,
+          flush=True)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
@@ -58,6 +63,7 @@ def build():
                               num_blocks_early_stop=MAX_INTERVALS,
                               pad=PAD)
     world = make_world(size=SCENE, seed=42)
+    _log(f'world built {world.dims}')
     model = SceneDreamerGenerator(cfg=cfg)
 
     # full-frame ray intersection once (as the reference does per frame);
@@ -72,6 +78,8 @@ def build():
     vid, dep, hit = ray_voxel_intersection(
         jnp.asarray(world.voxel), jnp.asarray(ori), rd.reshape(-1, 3),
         MAX_INTERVALS)
+    jax.block_until_ready(vid)
+    _log('full-frame ray intersection done')
     vid = vid.reshape(cam_h, cam_w, MAX_INTERVALS)
     dep = dep.reshape(cam_h, cam_w, MAX_INTERVALS, 2)
     hit = hit.reshape(cam_h, cam_w, MAX_INTERVALS)
@@ -101,6 +109,8 @@ def build():
     example = tile_batch(*tiles[0])
     params = model.init({'params': key}, example, world.dims, key,
                         random_style=True)
+    jax.block_until_ready(params)
+    _log('model init done')
     target = jnp.zeros((1, TILE, TILE, 3), jnp.float32)
 
     def loss_fn(p, batch):
@@ -115,9 +125,11 @@ def main():
     step, params, tile_batch, tiles = build()
     batches = [tile_batch(y, x) for (y, x) in tiles]
 
-    for _ in range(WARMUP_STEPS):
+    _log(f'{len(batches)} tiles; compiling grad step...')
+    for i in range(WARMUP_STEPS):
         g = step(params, batches[0])
-    jax.block_until_ready(g)
+        jax.block_until_ready(g)
+        _log(f'warmup {i} done')
 
     t0 = time.perf_counter()
     for _ in range(TIMED_REPS):
@@ -125,6 +137,7 @@ def main():
             g = step(params, b)
     jax.block_until_ready(g)
     dt = time.perf_counter() - t0
+    _log(f'timed {TIMED_REPS} reps in {dt:.1f}s')
 
     rays = FRAME_H * FRAME_W * TIMED_REPS
     rays_per_s = rays / dt

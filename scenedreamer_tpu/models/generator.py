@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from scenedreamer_tpu.ops.hashgrid import HashGridSpec, hashgrid_encode
+from scenedreamer_tpu.ops.hashgrid import (HashGridSpec, foldable,
+                                           hashgrid_encode,
+                                           hashgrid_encode_folded)
 from scenedreamer_tpu.ops.pe import positional_encoding, pe_out_dim
 from scenedreamer_tpu.ops.sampling import sample_depth
 from scenedreamer_tpu.ops.compositing import volume_rendering_relu
@@ -151,14 +153,30 @@ class SceneDreamerGenerator(nn.Module):
     def field_features(self, worldcoord, voxel_dims, global_enc, raydirs_in,
                        z, mc_masks_onehot):
         """Hash-encode world points conditioned on the scene code and run
-        the RenderMLP (`scenedreamer.py:285-311`)."""
+        the RenderMLP (`scenedreamer.py:285-311`).
+
+        Every point of a batch item shares the same 2-d scene code, so
+        the flagship 5-d hash uses the scene-folded fast path
+        (`ops/hashgrid.py:hashgrid_encode_folded`): scene-corner xor
+        permutations are pre-baked per level and each point costs 2^3
+        gathers instead of 2^5."""
+        spec = self.cfg.hash_spec
         delim = jnp.asarray(voxel_dims, jnp.float32)
         normalized = worldcoord / delim * 2.0 - 1.0
-        genc = jnp.broadcast_to(
-            global_enc[:, None, None, None, :],
-            normalized.shape[:-1] + (global_enc.shape[-1],))
-        pts = jnp.concatenate([normalized, genc], axis=-1)
-        feat = hashgrid_encode(self.cfg.hash_spec, self.hash_table, pts)
+        if foldable(spec, global_enc.shape[-1]):
+            b = normalized.shape[0]
+            flat = normalized.reshape(b, -1, 3)
+            feat = jax.vmap(
+                lambda x3, sc: hashgrid_encode_folded(
+                    spec, self.hash_table, x3, sc))(flat, global_enc)
+            feat = feat.reshape(normalized.shape[:-1]
+                                + (spec.output_dim,))
+        else:
+            genc = jnp.broadcast_to(
+                global_enc[:, None, None, None, :],
+                normalized.shape[:-1] + (global_enc.shape[-1],))
+            pts = jnp.concatenate([normalized, genc], axis=-1)
+            feat = hashgrid_encode(spec, self.hash_table, pts)
         return self.render_net(feat, raydirs_in, z, mc_masks_onehot)
 
     def render_pixels(self, key, voxel_id, depth, hit_mask, raydirs,

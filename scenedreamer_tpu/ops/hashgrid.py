@@ -21,6 +21,7 @@ no custom VJP needed. `jax.checkpoint` around the caller keeps the 2^D
 gathered corner values out of the residual set when memory matters.
 """
 import dataclasses
+import functools
 
 import numpy as np
 import jax
@@ -97,6 +98,58 @@ def _corner_bits(d):
     return ((idx[:, None] >> np.arange(d, dtype=np.uint32)[None, :]) & 1)
 
 
+def segment_sum_sorted(upd, idx, num_segments):
+    """Deterministic scatter-free segment sum: sort + cumsum +
+    binary-search difference.
+
+    XLA's scatter-add lowers to a serial per-update loop on TPU (~1 s
+    for 14M updates); this formulation uses only sort / cumsum / gather,
+    all of which are fast vector paths. It is also the deterministic
+    replacement for the reference CUDA backward's atomicAdd
+    (`gridencoder.cu:227-314`, nondeterministic accumulation order).
+
+    upd: [M, C]; idx: [M] int32 in [0, num_segments). Returns [S, C].
+    """
+    order = jnp.argsort(idx)
+    si = jnp.take(idx, order)
+    su = jnp.take(upd, order, axis=0)
+    c = jnp.cumsum(su.astype(jnp.float32), axis=0)
+    c = jnp.concatenate(
+        [jnp.zeros((1, upd.shape[1]), c.dtype), c], axis=0)
+    r = jnp.arange(num_segments, dtype=si.dtype)
+    start = jnp.searchsorted(si, r, side='left')
+    end = jnp.searchsorted(si, r, side='right')
+    return (jnp.take(c, end, axis=0)
+            - jnp.take(c, start, axis=0)).astype(upd.dtype)
+
+
+@jax.custom_vjp
+def gather_interp(tl, idx, w):
+    """out[n] = sum_k w[n,k] * tl[idx[n,k]] — the hash-grid inner op.
+
+    Custom VJP so the table gradient uses `segment_sum_sorted` instead
+    of XLA scatter-add (the fwd+bwd hot path of the whole renderer).
+    """
+    vals = jnp.take(tl, idx, axis=0)                       # [N, K, C]
+    return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+
+
+def _gather_interp_fwd(tl, idx, w):
+    return gather_interp(tl, idx, w), (tl, idx, w)
+
+
+def _gather_interp_bwd(res, g):
+    tl, idx, w = res
+    vals = jnp.take(tl, idx, axis=0)                       # recompute
+    dw = jnp.einsum('nc,nkc->nk', g, vals).astype(w.dtype)
+    upd = (w[..., None] * g[:, None, :]).reshape(-1, tl.shape[-1])
+    dtl = segment_sum_sorted(upd, idx.reshape(-1), tl.shape[0])
+    return dtl, None, dw
+
+
+gather_interp.defvjp(_gather_interp_fwd, _gather_interp_bwd)
+
+
 def _level_encode(spec, table_level, x, level):
     """Encode one level. x: [N, D] in [0,1]. Returns [N, C]."""
     d = spec.input_dim
@@ -137,8 +190,7 @@ def _level_encode(spec, table_level, x, level):
         idx = h
     idx = (idx % jnp.uint32(hashmap_size)).astype(jnp.int32)
 
-    vals = jnp.take(table_level, idx, axis=0)                # [N, 2^D, C]
-    return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+    return gather_interp(table_level, idx, w)
 
 
 def _all_levels_hashed_uniform(spec):
@@ -186,8 +238,7 @@ def _encode_flat_scan(spec, table, x01):
         for dd in range(d):
             h = h ^ (corner[..., dd] * primes[dd])
         idx = (h % jnp.uint32(size)).astype(jnp.int32)
-        vals = jnp.take(tl, idx, axis=0)                      # [N,2^D,C]
-        out_l = jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+        out_l = gather_interp(tl, idx, w)
         return carry, out_l
 
     _, outs = jax.lax.scan(body, None, (table3, scales))      # [L, N, C]
@@ -212,6 +263,127 @@ def _encode_flat(spec, table, x01):
             lambda tl_, x_, lv_=lv: _level_encode(spec, tl_, x_, lv_))
         outs.append(enc(tl, x01))
     return jnp.concatenate(outs, axis=-1)
+
+
+@jax.custom_vjp
+def _xor_bake(tl, masks, w):
+    """baked[j] = sum_a w[a] * tl[j ^ masks[a]] — fold the (shared)
+    scene-corner interpolation into a per-level table permutation blend.
+
+    tl [S, C]; masks [A] uint32; w [A] float. Backward uses the xor
+    self-inverse: d_tl[k] = sum_a w[a] * g[k ^ masks[a]] — gathers only,
+    no scatter."""
+    S = tl.shape[0]
+    j = jnp.arange(S, dtype=jnp.uint32)
+    out = jnp.zeros_like(tl)
+    for a in range(masks.shape[0]):
+        out = out + w[a] * jnp.take(
+            tl, (j ^ masks[a]).astype(jnp.int32), axis=0)
+    return out
+
+
+def _xor_bake_fwd(tl, masks, w):
+    return _xor_bake(tl, masks, w), (tl, masks, w)
+
+
+def _xor_bake_bwd(res, g):
+    tl, masks, w = res
+    S = tl.shape[0]
+    j = jnp.arange(S, dtype=jnp.uint32)
+    d_tl = jnp.zeros_like(tl)
+    d_w = []
+    for a in range(masks.shape[0]):
+        perm = (j ^ masks[a]).astype(jnp.int32)
+        d_tl = d_tl + w[a] * jnp.take(g, perm, axis=0)
+        d_w.append(jnp.sum(jnp.take(tl, perm, axis=0) * g))
+    return d_tl, None, jnp.stack(d_w).astype(w.dtype)
+
+
+_xor_bake.defvjp(_xor_bake_fwd, _xor_bake_bwd)
+
+
+def foldable(spec, scene_dim=2):
+    """The scene-folded fast path applies when every level is in hash
+    (overflow) mode with the same power-of-2 capped size — the flagship
+    D=5 config. Then `% size` == `& (size-1)` distributes over xor."""
+    if not _all_levels_hashed_uniform(spec):
+        return False
+    size = spec.table_size // spec.num_levels
+    return size & (size - 1) == 0 and spec.input_dim > scene_dim
+
+
+def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
+    """Exact hash-grid encode for points sharing trailing 'scene'
+    coordinates (the SceneDreamer world code, `scenedreamer.py:299-303`).
+
+    Per level the 2^Ds scene-corner contributions are folded into ONE
+    pre-baked table via xor permutations (cheap, O(S) structured
+    gathers), so each point needs only 2^Dp corner lookups instead of
+    2^D — a 4x gather/scatter reduction for Ds=2. Produces bit-equal
+    results to `hashgrid_encode` on the concatenated input (tested).
+
+    Args:
+        xyz: [N, Dp] spatial coords in [-bound, bound].
+        scene: [Ds] shared trailing coords in [-bound, bound].
+    Returns: [N, L*C].
+    """
+    dp = xyz.shape[-1]
+    ds = scene.shape[-1]
+    assert dp + ds == spec.input_dim
+    assert foldable(spec, ds), 'spec not foldable'
+    lvls = spec.num_levels
+    size = spec.table_size // lvls
+    mask = jnp.uint32(size - 1)
+    table3 = table.reshape(lvls, size, spec.level_dim)
+    scales = jnp.asarray([spec.level_resolution(lv)[1]
+                          for lv in range(lvls)], jnp.float32)
+    bits_p = jnp.asarray(_corner_bits(dp), jnp.uint32)      # [2^Dp, Dp]
+    bits_s = jnp.asarray(_corner_bits(ds), jnp.uint32)      # [2^Ds, Ds]
+    primes_p = jnp.asarray(_PRIMES[:dp], jnp.uint32)
+    primes_s = jnp.asarray(_PRIMES[dp:dp + ds], jnp.uint32)
+    offset = 0.0 if spec.align_corners else 0.5
+
+    x01 = (xyz + bound) / (2.0 * bound)
+    s01 = (scene + bound) / (2.0 * bound)
+    oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True) \
+        | jnp.any((s01 < 0.0) | (s01 > 1.0))
+
+    @jax.checkpoint
+    def body(carry, inp):
+        tl, scale = inp
+        # scene corners -> xor masks + blend weights
+        spos = s01 * scale + offset
+        sgrid = jnp.floor(spos)
+        sfrac = spos - sgrid
+        scorner = sgrid.astype(jnp.uint32)[None, :] + bits_s  # [2^Ds,Ds]
+        ws = jnp.where(bits_s.astype(bool), sfrac[None, :],
+                       1.0 - sfrac[None, :])
+        ws = jnp.prod(ws, axis=-1)                            # [2^Ds]
+        masks = jnp.zeros((bits_s.shape[0],), jnp.uint32)
+        for dd in range(ds):
+            masks = masks ^ (scorner[:, dd] * primes_s[dd])
+        masks = masks & mask
+        baked = _xor_bake(tl, masks, ws)
+
+        # spatial corners on the baked table
+        pos = x01 * scale + offset
+        pg = jnp.floor(pos)
+        frac = pos - pg
+        corner = pg.astype(jnp.uint32)[:, None, :] + bits_p[None]
+        w = jnp.where(bits_p[None].astype(bool), frac[:, None, :],
+                      1.0 - frac[:, None, :])
+        w = jnp.prod(w, axis=-1)                              # [N, 2^Dp]
+        h = jnp.zeros(corner.shape[:-1], jnp.uint32)
+        for dd in range(dp):
+            h = h ^ (corner[..., dd] * primes_p[dd])
+        idx = (h & mask).astype(jnp.int32)
+        out_l = gather_interp(baked, idx, w)
+        return carry, out_l
+
+    _, outs = jax.lax.scan(body, None, (table3, scales))      # [L, N, C]
+    out = outs.transpose(1, 0, 2).reshape(xyz.shape[0],
+                                          spec.output_dim)
+    return jnp.where(oob, 0.0, out)
 
 
 def hashgrid_encode(spec, table, x, bound=1.0, chunk=None):

@@ -181,3 +181,36 @@ def test_scan_path_matches_unrolled():
         hg._encode_flat_scan(spec, t, x) ** 2))(table)
     assert np.isfinite(np.asarray(ga)).all()
     assert float(jnp.abs(ga).sum()) > 0
+
+
+def test_folded_scene_encode_matches_standard():
+    """Scene-folded fast path == standard 5D encode (same table)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenedreamer_tpu.ops import hashgrid as hg
+    spec = hg.HashGridSpec.create(input_dim=5, num_levels=4, level_dim=2,
+                                  log2_hashmap_size=10,
+                                  desired_resolution=256)
+    assert hg.foldable(spec, 2)
+    table = hg.init_hashgrid_table(jax.random.PRNGKey(0), spec)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (400, 3),
+                             minval=-0.95, maxval=0.95)
+    scene = jnp.asarray([0.3, -0.4])
+    x5 = jnp.concatenate(
+        [xyz, jnp.broadcast_to(scene, (400, 2))], axis=-1)
+    a = hg.hashgrid_encode(spec, table, x5)
+    b = hg.hashgrid_encode_folded(spec, table, xyz, scene)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # gradients agree too (table + scene code)
+    ga = jax.grad(lambda t, s: jnp.sum(hg.hashgrid_encode(
+        spec, t, jnp.concatenate(
+            [xyz, jnp.broadcast_to(s, (400, 2))], -1)) ** 2),
+        argnums=(0, 1))(table, scene)
+    gb = jax.grad(lambda t, s: jnp.sum(hg.hashgrid_encode_folded(
+        spec, t, xyz, s) ** 2), argnums=(0, 1))(table, scene)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               rtol=1e-3, atol=1e-4)
