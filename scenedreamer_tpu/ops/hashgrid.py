@@ -110,15 +110,22 @@ def segment_sum_sorted(upd, idx, num_segments):
 
     upd: [M, C]; idx: [M] int32 in [0, num_segments). Returns [S, C].
     """
-    order = jnp.argsort(idx)
-    si = jnp.take(idx, order)
-    su = jnp.take(upd, order, axis=0)
+    m, ch = upd.shape
+    # one multi-operand sort carries the payload with the keys (cheaper
+    # than argsort + take)
+    ops = jax.lax.sort([idx] + [upd[:, c] for c in range(ch)],
+                       num_keys=1)
+    si = ops[0]
+    su = jnp.stack(ops[1:], axis=-1)
     c = jnp.cumsum(su.astype(jnp.float32), axis=0)
     c = jnp.concatenate(
-        [jnp.zeros((1, upd.shape[1]), c.dtype), c], axis=0)
+        [jnp.zeros((1, ch), c.dtype), c], axis=0)
     r = jnp.arange(num_segments, dtype=si.dtype)
+    # segment r spans [start_r, start_{r+1}) in the sorted order, so one
+    # searchsorted gives both boundaries
     start = jnp.searchsorted(si, r, side='left')
-    end = jnp.searchsorted(si, r, side='right')
+    end = jnp.concatenate(
+        [start[1:], jnp.full((1,), m, start.dtype)])
     return (jnp.take(c, end, axis=0)
             - jnp.take(c, start, axis=0)).astype(upd.dtype)
 

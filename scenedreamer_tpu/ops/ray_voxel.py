@@ -71,9 +71,10 @@ def _aabb_enter_t(ori, dirs, dims):
     return t0, possible
 
 
-@functools.partial(jax.jit, static_argnames=('max_samples', 'max_steps'))
+@functools.partial(jax.jit,
+                   static_argnames=('max_samples', 'max_steps', 'chunk'))
 def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
-                           max_steps=None):
+                           max_steps=None, chunk=None):
     """Traverse the grid; record the first `max_samples` solid intervals.
 
     Args:
@@ -83,12 +84,35 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
         max_samples: M, number of intervals to record per ray.
         max_steps: traversal step bound; defaults to Y+X+Z (the exact upper
             bound on plane crossings for a ray inside the grid).
+        chunk: rays per independent traversal loop (None = one loop
+            over all rays, the default). Measured on v5e the unchunked
+            lockstep loop wins at full frames (1.2s vs 3.1s chunked at
+            546x966: sequential lax.map chunks lose more parallelism
+            than coherent early exit gains); the option remains for
+            memory-constrained giant frames.
 
     Returns:
         voxel_id: [R, M] int32 (0 where no hit).
         depth: [R, M, 2] float32 entry/exit t (0 where no hit).
         hit_mask: [R, M] bool.
     """
+    if chunk is not None and raydirs.shape[0] > chunk:
+        r = raydirs.shape[0]
+        pad = (-r) % chunk
+        rd = jnp.pad(raydirs, ((0, pad), (0, 0)))
+        rd = rd.reshape(-1, chunk, 3)
+        vid, dep, hit = jax.lax.map(
+            lambda rds: _ray_voxel_chunk(voxel, cam_ori, rds,
+                                         max_samples, max_steps), rd)
+        return (vid.reshape(-1, max_samples)[:r],
+                dep.reshape(-1, max_samples, 2)[:r],
+                hit.reshape(-1, max_samples)[:r])
+    return _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
+                            max_steps)
+
+
+def _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
+                     max_steps=None):
     dims_i = voxel.shape
     if max_steps is None:
         max_steps = int(dims_i[0] + dims_i[1] + dims_i[2]) + 2

@@ -63,10 +63,26 @@ class CameraBatchSampler:
         self.trans = get_label_translator()
         c = cfg
         self.crop_res = (c.crop_size[0] + c.pad, c.crop_size[1] + c.pad)
-        self._intersect = jax.jit(
-            lambda voxel, ori, rd: ray_voxel_intersection(
-                voxel, ori, rd, c.num_blocks_early_stop),
-            static_argnums=())
+
+        def _intersect(voxel, ori, rd):
+            vid, dep, hit = ray_voxel_intersection(
+                voxel, ori, rd, c.num_blocks_early_stop)
+            # accept metrics computed on device: the host only fetches
+            # two scalars per proposal instead of the full interval
+            # tensors (matters over remote-device links)
+            d0 = dep[..., 0, 0]
+            valid = hit[..., 0]
+            nvalid = jnp.sum(valid)
+            avg_depth = jnp.where(
+                nvalid > 0,
+                jnp.sum(jnp.where(valid, d0, 0.0)) /
+                jnp.maximum(nvalid, 1), 0.0)
+            first = vid[..., 0]
+            cnt = jnp.bincount(first.reshape(-1), length=680) \
+                / first.size
+            entropy = -jnp.sum(cnt * jnp.log(cnt + 1e-10))
+            return vid, dep, hit, avg_depth, entropy
+        self._intersect = jax.jit(_intersect)
 
     def _propose(self, world, rng):
         """One camera proposal (`scenedreamer.py:95-120`)."""
@@ -102,28 +118,17 @@ class CameraBatchSampler:
                 rd = camera_rays(jnp.asarray(cdir, jnp.float32),
                                  jnp.asarray(up, jnp.float32), cam_f,
                                  cam_c, (h, w))
-                vid, dep, hit = self._intersect(
+                vid, dep, hit, avg_depth, entropy = self._intersect(
                     voxel, jnp.asarray(ori, jnp.float32),
                     rd.reshape(-1, 3))
-                hitn = np.asarray(hit)
-                # reject: too close (`scenedreamer.py:129-133`)
-                if c.camera_rej_avg_depth > 0:
-                    d0 = np.asarray(dep[..., 0, 0])
-                    valid = hitn[..., 0]
-                    if valid.any():
-                        avg_depth = d0[valid].mean()
-                    else:
-                        avg_depth = 0.0
-                    if avg_depth < c.camera_rej_avg_depth:
-                        continue
-                # reject: low entropy (`scenedreamer.py:136-143`)
-                if c.camera_min_entropy > 0:
-                    first = np.asarray(vid[..., 0])
-                    cnt = np.bincount(first.ravel(), minlength=680) \
-                        / first.size
-                    ent = -np.sum(cnt * np.log(cnt + 1e-10))
-                    if ent < c.camera_min_entropy:
-                        continue
+                # reject: too close (`scenedreamer.py:129-133`) or low
+                # entropy (`:136-143`); two device->host scalars
+                if c.camera_rej_avg_depth > 0 \
+                        and float(avg_depth) < c.camera_rej_avg_depth:
+                    continue
+                if c.camera_min_entropy > 0 \
+                        and float(entropy) < c.camera_min_entropy:
+                    continue
                 accepted = (vid, dep, hit, rd, ori)
                 break
             if accepted is None:     # fall back to the last proposal
