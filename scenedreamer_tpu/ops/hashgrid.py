@@ -130,31 +130,39 @@ def segment_sum_sorted(upd, idx, num_segments):
             - jnp.take(c, start, axis=0)).astype(upd.dtype)
 
 
-@jax.custom_vjp
-def gather_interp(tl, idx, w):
-    """out[n] = sum_k w[n,k] * tl[idx[n,k]] — the hash-grid inner op.
-
-    Custom VJP so the table gradient uses `segment_sum_sorted` instead
-    of XLA scatter-add (the fwd+bwd hot path of the whole renderer).
-    """
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_interp_impl(rows, tl, idx, w):
     vals = jnp.take(tl, idx, axis=0)                       # [N, K, C]
     return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
 
 
-def _gather_interp_fwd(tl, idx, w):
-    return gather_interp(tl, idx, w), (tl, idx, w)
+def _gather_interp_fwd(rows, tl, idx, w):
+    vals = jnp.take(tl, idx, axis=0)
+    out = jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+    return out, (vals, idx, w)
 
 
-def _gather_interp_bwd(res, g):
-    tl, idx, w = res
-    vals = jnp.take(tl, idx, axis=0)                       # recompute
+def _gather_interp_bwd(rows, res, g):
+    vals, idx, w = res
     dw = jnp.einsum('nc,nkc->nk', g, vals).astype(w.dtype)
-    upd = (w[..., None] * g[:, None, :]).reshape(-1, tl.shape[-1])
-    dtl = segment_sum_sorted(upd, idx.reshape(-1), tl.shape[0])
+    upd = (w[..., None] * g[:, None, :]).reshape(-1, vals.shape[-1])
+    dtl = segment_sum_sorted(upd, idx.reshape(-1), rows)
     return dtl, None, dw
 
 
-gather_interp.defvjp(_gather_interp_fwd, _gather_interp_bwd)
+_gather_interp_impl.defvjp(_gather_interp_fwd, _gather_interp_bwd)
+
+
+def gather_interp(tl, idx, w):
+    """out[n] = sum_k w[n,k] * tl[idx[n,k]] — the hash-grid inner op.
+
+    Custom VJP: the table gradient uses `segment_sum_sorted` instead of
+    XLA scatter-add (the fwd+bwd hot path of the whole renderer), and
+    the gathered corner rows are saved as residuals so the backward
+    performs NO gathers at all (residual memory is N * K * C floats per
+    level — cheap next to re-gathering).
+    """
+    return _gather_interp_impl(tl.shape[0], tl, idx, w)
 
 
 def _level_encode(spec, table_level, x, level):
@@ -231,7 +239,6 @@ def _encode_flat_scan(spec, table, x01):
     primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
     offset = 0.0 if spec.align_corners else 0.5
 
-    @jax.checkpoint
     def body(carry, inp):
         tl, scale = inp
         pos = x01 * scale + offset
@@ -355,7 +362,6 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True) \
         | jnp.any((s01 < 0.0) | (s01 > 1.0))
 
-    @jax.checkpoint
     def body(carry, inp):
         tl, scale = inp
         # scene corners -> xor masks + blend weights
