@@ -190,6 +190,17 @@ def main(argv=None):
     logging_iter = int(cfg.get('logging_iter', 10))
     snapshot_save_iter = int(cfg.get('snapshot_save_iter', 10000))
     snapshot_save_epoch = int(cfg.get('snapshot_save_epoch', 5))
+    image_save_iter = int(cfg.get('image_save_iter', 5000))
+
+    # AutoResume parity (`train.py:152-158`): on SIGTERM/SIGINT save a
+    # checkpoint before exiting so the run resumes with --resume.
+    import signal
+    stop_requested = {'flag': False}
+
+    def _on_term(signum, frame):
+        stop_requested['flag'] = True
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
     (gen, dis, loader, world_cache, builder, trainer, gcfg) = \
         build_everything(cfg, a)
@@ -223,11 +234,14 @@ def main(argv=None):
                 state = trainer.init_state(jax.random.PRNGKey(a.seed),
                                            batch)
                 if a.resume:
-                    restored = load_checkpoint(ckpt_dir, state)
+                    resume_dir = _find_resume_dir(a.logdir, ckpt_dir)
+                    restored = load_checkpoint(resume_dir, state) \
+                        if resume_dir else None
                     if restored is not None:
                         state = restored
                         it = int(state.step)
-                        print(f'[train] resumed at iteration {it}')
+                        print(f'[train] resumed at iteration {it} '
+                              f'from {resume_dir}')
             state, metrics = trainer.train_step(state, batch, k_step)
             it += 1
             for k, v in metrics.items():
@@ -244,6 +258,15 @@ def main(argv=None):
             if it % snapshot_save_iter == 0 \
                     and jax.process_index() == 0:
                 save_checkpoint(ckpt_dir, state)
+            if it % image_save_iter == 0 and jax.process_index() == 0:
+                _save_snapshot_images(writer, trainer, state, batch,
+                                      k_step, it)
+            if stop_requested['flag']:
+                print('[train] termination requested - checkpointing')
+                if jax.process_index() == 0 and state is not None:
+                    save_checkpoint(ckpt_dir, state)
+                writer.close()
+                return
             if a.max_iter and it >= a.max_iter:
                 break
         if a.max_iter and it >= a.max_iter:
@@ -256,6 +279,46 @@ def main(argv=None):
         print(f'[train] done at iteration {it}; checkpoints in '
               f'{ckpt_dir}')
     writer.close()
+
+
+def _find_resume_dir(logdir_root, own_ckpt_dir):
+    """Newest prior run with a checkpoint (each run gets a fresh
+    date-uid dir, so resume searches sibling runs —
+    `latest_checkpoint.txt` pointer per run, `trainers/base.py:262-270`)."""
+    import glob
+    candidates = sorted(
+        glob.glob(os.path.join(logdir_root, '*', 'checkpoints',
+                               'latest_checkpoint.txt')),
+        key=os.path.getmtime, reverse=True)
+    for c in candidates:
+        d = os.path.dirname(c)
+        if os.path.abspath(d) != os.path.abspath(own_ckpt_dir):
+            return d
+    return None
+
+
+def _save_snapshot_images(writer, trainer, state, batch, key, it):
+    """Periodic visualization strip: real | label | fake | pseudo-GT
+    (`trainers/gancraft.py:253-286`)."""
+    import numpy as np
+    from scenedreamer_tpu.utils.visualization import (image_grid,
+                                                      tensor2im,
+                                                      tensor2label)
+    out = trainer.gen.apply({'params': state.g_params}, batch,
+                            trainer.voxel_dims, key, random_style=True)
+    imgs = []
+    if 'images' in batch:
+        imgs.append(tensor2im(np.asarray(batch['images'][0])))
+    if 'label' in batch:
+        imgs.append(tensor2label(np.asarray(batch['label'][0])))
+    fake = tensor2im(np.asarray(out['fake_images'][0]))
+    imgs.append(fake)
+    if 'pseudo_real_img' in batch:
+        imgs.append(tensor2im(np.asarray(batch['pseudo_real_img'][0])))
+    h = min(im.shape[0] for im in imgs)
+    w = min(im.shape[1] for im in imgs)
+    imgs = [im[:h, :w] for im in imgs]
+    writer.image('train/snapshot', image_grid(imgs), it)
 
 
 def _force_platform(platform):
