@@ -163,21 +163,33 @@ class SceneDreamerGenerator(nn.Module):
         spec = self.cfg.hash_spec
         delim = jnp.asarray(voxel_dims, jnp.float32)
         normalized = worldcoord / delim * 2.0 - 1.0
+        b = normalized.shape[0]
         if foldable(spec, global_enc.shape[-1]):
-            b = normalized.shape[0]
             flat = normalized.reshape(b, -1, 3)
             feat = jax.vmap(
                 lambda x3, sc: hashgrid_encode_folded(
                     spec, self.hash_table, x3, sc))(flat, global_enc)
-            feat = feat.reshape(normalized.shape[:-1]
-                                + (spec.output_dim,))
         else:
             genc = jnp.broadcast_to(
                 global_enc[:, None, None, None, :],
                 normalized.shape[:-1] + (global_enc.shape[-1],))
             pts = jnp.concatenate([normalized, genc], axis=-1)
             feat = hashgrid_encode(spec, self.hash_table, pts)
-        return self.render_net(feat, raydirs_in, z, mc_masks_onehot)
+            feat = feat.reshape(b, -1, spec.output_dim)
+        # run the MLP on flat [B, N, C] (2-D matmul layouts; 5-D tensors
+        # cost extra relayouts on TPU), then restore the spatial shape
+        rd_flat = None
+        if raydirs_in is not None:
+            rd_flat = jnp.broadcast_to(
+                raydirs_in,
+                normalized.shape[:-1] + (raydirs_in.shape[-1],)
+            ).reshape(b, -1, raydirs_in.shape[-1])
+        m_flat = mc_masks_onehot.reshape(b, -1,
+                                         mc_masks_onehot.shape[-1])
+        sigma, feat_c = self.render_net(feat, rd_flat, z, m_flat)
+        out_shape = normalized.shape[:-1]
+        return (sigma.reshape(out_shape + (sigma.shape[-1],)),
+                feat_c.reshape(out_shape + (feat_c.shape[-1],)))
 
     def render_pixels(self, key, voxel_id, depth, hit_mask, raydirs,
                       cam_ori, z, global_enc, voxel_dims,
