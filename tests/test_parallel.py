@@ -97,3 +97,16 @@ def test_sharded_generator_forward(world_and_batch):
     assert img_sharded.shape == img_local.shape
     np.testing.assert_allclose(np.asarray(img_sharded),
                                np.asarray(img_local), atol=2e-4)
+
+
+def test_global_batch_from_local(world_and_batch):
+    """Multi-host batch assembly (single-process degenerate case)."""
+    import numpy as np
+    _, batch = world_and_batch
+    m = pm.make_mesh()
+    local = {k: np.asarray(v) for k, v in batch.items()
+             if k in ('cam_ori', 'raydirs')}
+    global_b = pm.global_batch_from_local(m, local)
+    assert global_b['cam_ori'].shape == local['cam_ori'].shape
+    np.testing.assert_allclose(np.asarray(global_b['cam_ori']),
+                               local['cam_ori'])
