@@ -76,7 +76,8 @@ class TiledRenderer:
 
     def __init__(self, model, params, world, num_samples=40,
                  num_blocks_early_stop=6, sample_depth=3.0, pad=30,
-                 tile_size=128, resolution_hw=(540, 960), fov=26.0):
+                 tile_size=128, resolution_hw=(540, 960), fov=26.0,
+                 tiles_per_batch=1):
         self.model = model
         self.params = params
         self.world = world
@@ -85,6 +86,7 @@ class TiledRenderer:
         self.sample_depth = sample_depth
         self.pad = pad
         self.tile = tile_size
+        self.tiles_per_batch = max(1, tiles_per_batch)
         self.res = tuple(resolution_hw)
         self.cam_res = (self.res[0] + pad, self.res[1] + pad)
         self.fov = fov
@@ -181,23 +183,39 @@ class TiledRenderer:
 
         out = np.zeros((self.res[0], self.res[1], 3), np.float32)
         out_d = np.zeros((self.res[0], self.res[1]), np.float32)
-        ys = list(range(0, self.res[0], self.tile))
-        xs = list(range(0, self.res[1], self.tile))
-        for y0 in ys:
-            y0 = min(y0, h - tile_in)
-            for x0 in xs:
-                x0 = min(x0, w - tile_in)
-                img, dexp = self._tile_fn(
-                    self.params,
-                    vid[:, y0:y0 + tile_in, x0:x0 + tile_in],
-                    dep[:, y0:y0 + tile_in, x0:x0 + tile_in],
-                    hit[:, y0:y0 + tile_in, x0:x0 + tile_in],
-                    raydirs[:, y0:y0 + tile_in, x0:x0 + tile_in],
-                    cam_ori, z, self.global_enc, sky_avg, key)
-                out[y0:y0 + self.tile, x0:x0 + self.tile] = \
-                    np.asarray(img[0])
-                out_d[y0:y0 + self.tile, x0:x0 + self.tile] = \
-                    np.asarray(dexp[0])
+        coords = []
+        for y0 in range(0, self.res[0], self.tile):
+            for x0 in range(0, self.res[1], self.tile):
+                coords.append((min(y0, h - tile_in),
+                               min(x0, w - tile_in)))
+        # optionally batch tiles per dispatch (padding keeps ONE
+        # compiled shape). Measured on v5e the default of 1 is fastest
+        # (batched tiles blew up the gather transients); >1 remains
+        # useful over high-RTT remote-device links
+        tb = self.tiles_per_batch
+        for s in range(0, len(coords), tb):
+            group = coords[s:s + tb]
+            gpad = tb - len(group)
+            group_full = group + [group[-1]] * gpad
+            def stack(arr):
+                return jnp.concatenate(
+                    [arr[:, y0:y0 + tile_in, x0:x0 + tile_in]
+                     for (y0, x0) in group_full], axis=0)
+            b = len(group_full)
+            imgs, dexps = self._tile_fn(
+                self.params, stack(vid), stack(dep), stack(hit),
+                stack(raydirs),
+                jnp.broadcast_to(cam_ori, (b, 3)),
+                jnp.broadcast_to(z, (b,) + z.shape[1:]),
+                jnp.broadcast_to(self.global_enc,
+                                 (b,) + self.global_enc.shape[1:]),
+                jnp.broadcast_to(sky_avg, (b,) + sky_avg.shape[1:]),
+                key)
+            imgs = np.asarray(imgs)
+            dexps = np.asarray(dexps)
+            for i, (y0, x0) in enumerate(group):
+                out[y0:y0 + self.tile, x0:x0 + self.tile] = imgs[i]
+                out_d[y0:y0 + self.tile, x0:x0 + self.tile] = dexps[i]
         if return_aux:
             p0 = self.pad // 2
             return out, {
