@@ -38,7 +38,7 @@ NUM_SAMPLES = int(_env('BENCH_SAMPLES', 24))
 MAX_INTERVALS = int(_env('BENCH_M', 6))   # num_blocks_early_stop (train)
 PAD = 6
 WARMUP_STEPS = 2
-TIMED_REPS = int(_env('BENCH_REPS', 3))
+TIMED_REPS = int(_env('BENCH_REPS', 1))
 SCENE = int(_env('BENCH_SCENE', 256))
 TINY = bool(int(_env('BENCH_TINY', '0')))  # smoke-test model size
 

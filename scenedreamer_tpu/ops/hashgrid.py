@@ -22,10 +22,17 @@ gathered corner values out of the residual set when memory matters.
 """
 import dataclasses
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# 'scan' = sequential per-level loop (the measured-fastest mode that
+# also bounds memory); 'vmap' = all levels vectorized together — OOMs
+# at flagship scale on 16GB v5e (the [L, N, K, C] corner tensor
+# tile-pads 16x) but useful on larger-HBM parts. Both exact.
+FOLDED_LEVEL_MODE = os.environ.get('SCENEDREAMER_HASH_LEVEL_MODE', 'scan')
 
 # While 1 is not a good hash prime, it preserves memory coherence in dim 0
 # (same rationale and constants as Instant-NGP / the reference, cu:42).
@@ -393,7 +400,11 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
         out_l = gather_interp(baked, idx, w)
         return carry, out_l
 
-    _, outs = jax.lax.scan(body, None, (table3, scales))      # [L, N, C]
+    if FOLDED_LEVEL_MODE == 'vmap':
+        outs = jax.vmap(lambda tl, s: body(None, (tl, s))[1])(
+            table3, scales)                                   # [L, N, C]
+    else:
+        _, outs = jax.lax.scan(body, None, (table3, scales))  # [L, N, C]
     out = outs.transpose(1, 0, 2).reshape(xyz.shape[0],
                                           spec.output_dim)
     return jnp.where(oob, 0.0, out)
