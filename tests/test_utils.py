@@ -1,0 +1,85 @@
+"""Utils coverage: meters/logging, profiling timers, io, config."""
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+from scenedreamer_tpu.utils.config import AttrDict, Config, recursive_update
+from scenedreamer_tpu.utils.io import get_checkpoint, save_image
+from scenedreamer_tpu.utils.meters import MetricsWriter, make_logging_dir
+from scenedreamer_tpu.utils.profiling import PhaseTimer, annotate
+
+
+def test_metrics_writer_and_meters(tmp_path):
+    w = MetricsWriter(str(tmp_path), use_tensorboard=False)
+    m = w.meter('loss')
+    m.write(1.0)
+    m.write(3.0)
+    m.write(float('nan'))       # filtered on flush
+    w.flush_meters(step=10)
+    w.scalar('direct', 7.5, 11)
+    w.close()
+    lines = [json.loads(line) for line in
+             open(tmp_path / 'metrics.jsonl')]
+    by_key = {}
+    for rec in lines:
+        for k, v in rec.items():
+            if k not in ('t', 'step'):
+                by_key[k] = (v, rec['step'])
+    assert by_key['loss'] == (2.0, 10)       # mean of finite values
+    assert by_key['direct'] == (7.5, 11)
+
+
+def test_make_logging_dir(tmp_path):
+    d = make_logging_dir(str(tmp_path), 'myconfig')
+    assert os.path.isdir(d)
+    assert d.endswith('_myconfig')
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase('work'):
+        time.sleep(0.01)
+    with t.phase('work'):
+        time.sleep(0.01)
+    assert t.counts['work'] == 2
+    assert t.means()['work'] >= 0.01
+    assert 'work' in t.report()
+    with annotate('span'):
+        pass
+
+
+def test_io_helpers(tmp_path):
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :, 0] = 255
+    path = str(tmp_path / 'sub' / 'img.png')
+    save_image(path, img)
+    import cv2
+    back = cv2.imread(path)
+    assert back[0, 0, 2] == 255              # BGR on disk
+    assert get_checkpoint(path) == path
+    with pytest.raises(FileNotFoundError):
+        get_checkpoint(str(tmp_path / 'missing.pt'))
+    with pytest.raises(FileNotFoundError):
+        get_checkpoint('https://example.com/x.pt',
+                       checkpoint_dir=str(tmp_path))
+
+
+def test_config_yaml_and_defaults(tmp_path):
+    cfgfile = tmp_path / 'c.yaml'
+    cfgfile.write_text('max_epoch: 7\ngen:\n    style_dims: 64\n'
+                       'trainer:\n    loss_weight:\n        l2: 5.0\n')
+    cfg = Config(str(cfgfile))
+    assert cfg.max_epoch == 7
+    assert cfg.gen.style_dims == 64
+    assert cfg.trainer.loss_weight.l2 == 5.0
+    # defaults survive the merge
+    assert cfg.gen_opt.lr == pytest.approx(1e-4)
+    assert cfg.dis_opt.lr == pytest.approx(4e-4)
+    assert cfg.name == 'c'
+
+    d = AttrDict({'a': {'b': 1}})
+    recursive_update(d, {'a': {'c': 2}})
+    assert d.a.b == 1 and d.a.c == 2
