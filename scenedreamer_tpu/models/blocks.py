@@ -315,6 +315,68 @@ class Res2dBlock(nn.Module):
         return h + x
 
 
+class ApplyNoise(nn.Module):
+    """Learned-scale additive noise (`layers/misc.py` ApplyNoise,
+    StyleGAN-style)."""
+
+    @nn.compact
+    def __call__(self, x, key=None):
+        scale = self.param('scale', nn.initializers.zeros, ())
+        if key is None:
+            key = self.make_rng('noise')
+        noise = jax.random.normal(key, x.shape[:-1] + (1,), x.dtype)
+        return x + scale * noise
+
+
+def equalized_lr_init(lr_mul=1.0):
+    """Equalized learning rate (`layers/weight_norm.py:76-185` ScaledLR):
+    params stored at N(0, 1/lr_mul), rescaled at use time by
+    he_std * lr_mul so the effective LR of every tensor matches."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) / lr_mul
+    return init
+
+
+class EqualizedDense(nn.Module):
+    """Dense with runtime He rescale (equalized LR)."""
+    features: int
+    lr_mul: float = 1.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param('weight', equalized_lr_init(self.lr_mul),
+                       (self.features, x.shape[-1]))
+        he = np.sqrt(2.0 / x.shape[-1]) * self.lr_mul
+        y = jnp.einsum('...i,oi->...o', x, w * he)
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros,
+                           (self.features,))
+            y = y + b * self.lr_mul
+        return y
+
+
+class NonLocal2dBlock(nn.Module):
+    """Self-attention over spatial positions
+    (`layers/non_local.py`, embedded-gaussian non-local block)."""
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        inner = max(1, c // self.reduction)
+        theta = nn.Conv(inner, (1, 1), name='theta')(x).reshape(b, -1,
+                                                                inner)
+        phi = nn.Conv(inner, (1, 1), name='phi')(x).reshape(b, -1, inner)
+        gf = nn.Conv(inner, (1, 1), name='g')(x).reshape(b, -1, inner)
+        attn = jax.nn.softmax(
+            jnp.einsum('bnc,bmc->bnm', theta, phi)
+            / np.sqrt(inner), axis=-1)
+        y = jnp.einsum('bnm,bmc->bnc', attn, gf).reshape(b, h, w, inner)
+        gamma = self.param('gamma', nn.initializers.zeros, ())
+        return x + gamma * nn.Conv(c, (1, 1), name='out')(y)
+
+
 class Res2dBlockDown(nn.Module):
     """Residual block with stride-2 (blur-)downsample
     (`layers/residual.py` DownRes2dBlock)."""

@@ -24,6 +24,13 @@ code.
 Multi-host: `jax.distributed.initialize()` + the same mesh over all
 devices; `jax.make_array_from_process_local_data` builds the global
 batch from host-local shards.
+
+Reference pieces with no TPU analog (intentionally absent):
+`utils/gpu_affinity.py` (NUMA pinning — the TPU runtime owns host
+thread placement), `utils/cudnn.py` (cuDNN flags — XLA compilation is
+deterministic given the same program/seed), and NCCL env plumbing
+(`utils/distributed.py:20-27` L2-fetch tweaks — ICI collectives are
+compiler-scheduled).
 """
 import os
 from typing import Optional

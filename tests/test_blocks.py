@@ -92,3 +92,27 @@ def test_setup_filter_normalized():
     f = setup_filter()
     assert f.shape == (4, 4)
     np.testing.assert_allclose(f.sum(), 1.0, rtol=1e-6)
+
+
+def test_apply_noise_equalized_nonlocal():
+    from scenedreamer_tpu.models.blocks import (ApplyNoise,
+                                                EqualizedDense,
+                                                NonLocal2dBlock)
+    x = jnp.ones((2, 8, 8, 4))
+    an = ApplyNoise()
+    v = an.init({'params': jax.random.PRNGKey(0),
+                 'noise': jax.random.PRNGKey(1)}, x)
+    # zero-init scale -> identity at init
+    y = an.apply(v, x, rngs={'noise': jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+    d = EqualizedDense(6, lr_mul=0.5)
+    vd = d.init(jax.random.PRNGKey(0), jnp.ones((3, 4)))
+    out = d.apply(vd, jnp.ones((3, 4)))
+    assert out.shape == (3, 6) and np.isfinite(np.asarray(out)).all()
+
+    nl = NonLocal2dBlock()
+    vn = nl.init(jax.random.PRNGKey(0), x)
+    # gamma zero-init -> identity at init
+    np.testing.assert_allclose(np.asarray(nl.apply(vn, x)),
+                               np.asarray(x), atol=1e-6)
