@@ -143,9 +143,11 @@ def main():
     rays_per_s = rays / dt
 
     baseline = None
-    if os.path.exists('BENCH_BASELINE.json'):
+    bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'BENCH_BASELINE.json')
+    if os.path.exists(bl_path):
         try:
-            with open('BENCH_BASELINE.json') as fh:
+            with open(bl_path) as fh:
                 baseline = json.load(fh).get('value')
         except Exception:
             baseline = None
