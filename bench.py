@@ -131,6 +131,13 @@ def main():
         jax.block_until_ready(g)
         _log(f'warmup {i} done')
 
+    prof_dir = os.environ.get('BENCH_PROFILE', '')
+    if prof_dir:
+        with jax.profiler.trace(prof_dir):
+            g = step(params, batches[0])
+            jax.block_until_ready(g)
+        _log(f'profile of one tile written to {prof_dir}')
+
     t0 = time.perf_counter()
     for _ in range(TIMED_REPS):
         for b in batches:

@@ -34,6 +34,16 @@ import jax.numpy as jnp
 # tile-pads 16x) but useful on larger-HBM parts. Both exact.
 FOLDED_LEVEL_MODE = os.environ.get('SCENEDREAMER_HASH_LEVEL_MODE', 'scan')
 
+# Coarse levels whose corner grid has side <= this use the dense-splat
+# backward (MXU matmul accumulation over the reachable cell space +
+# trace-time-constant remap into hash slots) instead of sorting all
+# N * 2^D update rows — the TPU analog of the reference CUDA kernel's
+# tiled (non-hashed) index path (`gridencoder.cu:54-72`). 0 disables.
+DENSE_BWD_MAX_SIDE = int(os.environ.get('SCENEDREAMER_HASH_DENSE_SIDE', '64'))
+# Points per chunk in the splat matmul (bounds the [chunk, side^2]
+# one-hot operand; 0 = single shot).
+SPLAT_CHUNK = int(os.environ.get('SCENEDREAMER_SPLAT_CHUNK', '131072'))
+
 # While 1 is not a good hash prime, it preserves memory coherence in dim 0
 # (same rationale and constants as Instant-NGP / the reference, cu:42).
 _PRIMES = np.array([1, 2654435761, 805459861, 3674653429, 2097192037,
@@ -323,6 +333,149 @@ def _xor_bake_bwd(res, g):
 _xor_bake.defvjp(_xor_bake_fwd, _xor_bake_bwd)
 
 
+@functools.lru_cache(maxsize=32)
+def _dense_remap_consts(size, side_max, sides, primes):
+    """Trace-time constants mapping the dense corner-cell space of each
+    coarse level into hash-table slots.
+
+    The hash id of every reachable cell (x, y, z) < side is a compile-time
+    constant, so the sort that `segment_sum_sorted` performs at runtime can
+    be done ONCE here in numpy: `perm` gathers the dense grad rows into
+    hash-sorted order and `start`/`end` delimit each table slot's run.
+    Cells in the [side, side_max) padding (and any unreachable cells) are
+    parked in a sentinel segment past the table.
+
+    Returns (perm [L, side_max^3], start [L, size], end [L, size]) int32.
+    """
+    sm = side_max
+    j = np.arange(sm ** 3, dtype=np.int64)
+    x = j // (sm * sm)
+    y = (j // sm) % sm
+    z = j % sm
+    perms, starts, ends = [], [], []
+    for side in sides:
+        h = ((x.astype(np.uint32) * np.uint32(primes[0]))
+             ^ (y.astype(np.uint32) * np.uint32(primes[1]))
+             ^ (z.astype(np.uint32) * np.uint32(primes[2])))
+        h = (h & np.uint32(size - 1)).astype(np.int64)
+        valid = (x < side) & (y < side) & (z < side)
+        h = np.where(valid, h, size)              # sentinel: drop row
+        perm = np.argsort(h, kind='stable')
+        hs = h[perm]
+        starts.append(np.searchsorted(hs, np.arange(size), 'left'))
+        ends.append(np.searchsorted(hs, np.arange(size), 'right'))
+        perms.append(perm)
+    return (np.asarray(perms, np.int32), np.asarray(starts, np.int32),
+            np.asarray(ends, np.int32))
+
+
+_SPLAT_DTYPE = jnp.bfloat16 if os.environ.get(
+    'SCENEDREAMER_SPLAT_DTYPE', 'bfloat16') == 'bfloat16' else jnp.float32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _splat_interp(static, tl, pos_grid, frac, perm, start, end):
+    size, side_max = static
+    return _splat_gather(static, tl, pos_grid, frac)
+
+
+def _splat_gather(static, tl, pos_grid, frac):
+    """Forward: identical math to `gather_interp` (hash + 2^3 corner
+    gathers); only the VJP differs."""
+    size, _ = static
+    d = pos_grid.shape[-1]
+    bits = jnp.asarray(_corner_bits(d), jnp.int32)
+    primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
+    corner = pos_grid[:, None, :] + bits[None]               # [N, 2^D, D]
+    w = jnp.where(bits[None].astype(bool), frac[:, None, :],
+                  1.0 - frac[:, None, :])
+    w = jnp.prod(w, axis=-1)
+    h = jnp.zeros(corner.shape[:-1], jnp.uint32)
+    for dd in range(d):
+        h = h ^ (corner[..., dd].astype(jnp.uint32) * primes[dd])
+    idx = (h & jnp.uint32(size - 1)).astype(jnp.int32)
+    vals = jnp.take(tl, idx, axis=0)
+    return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+
+
+def _splat_fwd(static, tl, pos_grid, frac, perm, start, end):
+    out = _splat_gather(static, tl, pos_grid, frac)
+    return out, (pos_grid, frac, perm, start, end)
+
+
+def _splat_bwd(static, res, g):
+    """Dense-splat table gradient.
+
+    d_dense[x, y, z, c] = sum_n Xs[n,x] * Ys[n,y] * Zs[n,z] * g[n,c]
+    where each splat vector has the two trilinear taps (1-f) at i and f
+    at i+1 — all 2^3 corner contributions of all points in TWO MXU
+    matmuls over the [side^3] reachable-cell space instead of a
+    [N*2^3]-row sort. bf16 operands / f32 accumulation (the reference
+    CUDA backward accumulates in fp16 via half2 atomicAdd,
+    `gridencoder.cu:268-282`, so this is strictly tighter). The dense
+    grid is then remapped into hash slots with trace-time constants
+    (`_dense_remap_consts`) — no runtime sort at all.
+
+    Spatial coords never carry gradients in the folded path (ray sample
+    depths are stop_gradient; the scene-code grad flows through
+    `_xor_bake`), so no dw is computed.
+    """
+    size, sm = static
+    pos_grid, frac, perm, start, end = res
+    n, c = g.shape
+    sd = _SPLAT_DTYPE
+    iota = jnp.arange(sm, dtype=pos_grid.dtype)
+
+    def dense_chunk(pg, fr, gg):
+        def splat(i, f):
+            base = (iota[None, :] == i[:, None]).astype(sd) * \
+                (1.0 - f)[:, None].astype(sd)
+            hi = (iota[None, :] == i[:, None] + 1).astype(sd) * \
+                f[:, None].astype(sd)
+            return base + hi                                 # [n, sm]
+
+        m = pg.shape[0]
+        xs = splat(pg[:, 0], fr[:, 0])
+        ys = splat(pg[:, 1], fr[:, 1])
+        zs = splat(pg[:, 2], fr[:, 2])
+        wxy = (xs[:, :, None] * ys[:, None, :]).reshape(m, sm * sm)
+        gzc = (zs[:, :, None] * gg.astype(sd)[:, None, :]) \
+            .reshape(m, sm * c)
+        return jax.lax.dot_general(
+            wxy, gzc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [sm^2, sm*C]
+
+    chunk = SPLAT_CHUNK
+    if chunk and n > chunk:
+        pad = (-n) % chunk
+        pgp = jnp.pad(pos_grid, ((0, pad), (0, 0)),
+                      constant_values=-2)   # never matches iota/iota+1
+        frp = jnp.pad(frac, ((0, pad), (0, 0)))
+        gp = jnp.pad(g, ((0, pad), (0, 0)))
+        k = pgp.shape[0] // chunk
+
+        def body(acc, inp):
+            pg, fr, gg = inp
+            return acc + dense_chunk(pg, fr, gg), None
+
+        dense, _ = jax.lax.scan(
+            body, jnp.zeros((sm * sm, sm * c), jnp.float32),
+            (pgp.reshape(k, chunk, -1), frp.reshape(k, chunk, -1),
+             gp.reshape(k, chunk, -1)))
+    else:
+        dense = dense_chunk(pos_grid, frac, g)
+    dense = dense.reshape(sm ** 3, c)
+    sorted_rows = jnp.take(dense, perm, axis=0)
+    cum = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float32), jnp.cumsum(sorted_rows, axis=0)],
+        axis=0)
+    d_tl = (jnp.take(cum, end, axis=0) - jnp.take(cum, start, axis=0))
+    return (d_tl.astype(g.dtype), None, None, None, None, None)
+
+
+_splat_interp.defvjp(_splat_fwd, _splat_bwd)
+
+
 def foldable(spec, scene_dim=2):
     """The scene-folded fast path applies when every level is in hash
     (overflow) mode with the same power-of-2 capped size — the flagship
@@ -369,9 +522,8 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True) \
         | jnp.any((s01 < 0.0) | (s01 > 1.0))
 
-    def body(carry, inp):
-        tl, scale = inp
-        # scene corners -> xor masks + blend weights
+    def bake(tl, scale):
+        """Scene corners -> xor masks + blend weights -> baked table."""
         spos = s01 * scale + offset
         sgrid = jnp.floor(spos)
         sfrac = spos - sgrid
@@ -383,8 +535,11 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
         for dd in range(ds):
             masks = masks ^ (scorner[:, dd] * primes_s[dd])
         masks = masks & mask
-        baked = _xor_bake(tl, masks, ws)
+        return _xor_bake(tl, masks, ws)
 
+    def body(carry, inp):
+        tl, scale = inp
+        baked = bake(tl, scale)
         # spatial corners on the baked table
         pos = x01 * scale + offset
         pg = jnp.floor(pos)
@@ -400,11 +555,63 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
         out_l = gather_interp(baked, idx, w)
         return carry, out_l
 
-    if FOLDED_LEVEL_MODE == 'vmap':
+    # coarse prefix: levels whose corner grid fits a dense side (sides
+    # increase monotonically with level) use the dense-splat backward
+    sides = [spec.level_resolution(lv)[0] + (0 if spec.align_corners
+                                             else 1)
+             for lv in range(lvls)]
+    nd = 0
+    if dp == 3 and DENSE_BWD_MAX_SIDE > 0 and FOLDED_LEVEL_MODE == 'scan':
+        while nd < lvls and sides[nd] <= DENSE_BWD_MAX_SIDE:
+            nd += 1
+
+    # ONE scan group padded to the largest dense side: splitting into
+    # size-matched groups was measured compile-3x-slower for no runtime
+    # win (the small-side splat matmuls are cheap even padded)
+    groups = [(0, nd)] if nd else []
+
+    def make_body(sm):
+        def body_dense(carry, inp):
+            tl, scale, perm, start, end = inp
+            baked = bake(tl, scale)
+            pos = x01 * scale + offset
+            pg = jnp.floor(pos)
+            frac = pos - pg
+            out_l = _splat_interp((size, sm), baked,
+                                  pg.astype(jnp.int32), frac, perm,
+                                  start, end)
+            return carry, out_l
+        return body_dense
+
+    dense_outs = []
+    for lo, hi in groups:
+        sm = sides[hi - 1]
+        perm, start, end = _dense_remap_consts(
+            size, sm, tuple(sides[lo:hi]),
+            tuple(int(p) for p in _PRIMES[:dp]))
+        bdy = make_body(sm)
+        if hi - lo == 1:
+            _, o = bdy(None, (table3[lo], scales[lo],
+                              jnp.asarray(perm[0]), jnp.asarray(start[0]),
+                              jnp.asarray(end[0])))
+            dense_outs.append(o[None])
+        else:
+            _, o = jax.lax.scan(
+                bdy, None,
+                (table3[lo:hi], scales[lo:hi], jnp.asarray(perm),
+                 jnp.asarray(start), jnp.asarray(end)))
+            dense_outs.append(o)                              # [g, N, C]
+
+    if nd == lvls:
+        outs = jnp.concatenate(dense_outs, axis=0)
+    elif FOLDED_LEVEL_MODE == 'vmap':
         outs = jax.vmap(lambda tl, s: body(None, (tl, s))[1])(
             table3, scales)                                   # [L, N, C]
     else:
-        _, outs = jax.lax.scan(body, None, (table3, scales))  # [L, N, C]
+        _, outs = jax.lax.scan(body, None,
+                               (table3[nd:], scales[nd:]))
+        if nd > 0:
+            outs = jnp.concatenate(dense_outs + [outs], axis=0)
     out = outs.transpose(1, 0, 2).reshape(xyz.shape[0],
                                           spec.output_dim)
     return jnp.where(oob, 0.0, out)

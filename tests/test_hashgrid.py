@@ -183,6 +183,40 @@ def test_scan_path_matches_unrolled():
     assert float(jnp.abs(ga).sum()) > 0
 
 
+def test_dense_splat_backward_matches_sort_backward(monkeypatch):
+    """Coarse-level dense-splat table grads == sort-based segment-sum
+    grads (the two backward formulations of the folded path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenedreamer_tpu.ops import hashgrid as hg
+    spec = hg.HashGridSpec.create(input_dim=5, num_levels=4, level_dim=2,
+                                  log2_hashmap_size=10,
+                                  desired_resolution=256)
+    table = hg.init_hashgrid_table(jax.random.PRNGKey(3), spec)
+    xyz = jax.random.uniform(jax.random.PRNGKey(4), (500, 3),
+                             minval=-0.9, maxval=0.9)
+    scene = jnp.asarray([-0.2, 0.55])
+
+    def grads(t, s):
+        return jax.grad(lambda tt, ss: jnp.sum(jnp.sin(
+            hg.hashgrid_encode_folded(spec, tt, xyz, ss) * 30.0)),
+            argnums=(0, 1))(t, s)
+
+    monkeypatch.setattr(hg, 'DENSE_BWD_MAX_SIDE', 0)
+    gt_sort, gs_sort = jax.jit(grads)(table, scene)
+    monkeypatch.setattr(hg, 'DENSE_BWD_MAX_SIDE', 64)
+    gt_dense, gs_dense = jax.jit(grads)(table, scene)
+    assert np.abs(np.asarray(gt_dense)).sum() > 0
+    # bf16 splat operands: tolerate ~0.5% relative (the reference CUDA
+    # backward accumulates in fp16, gridencoder.cu:268-282)
+    np.testing.assert_allclose(np.asarray(gt_dense), np.asarray(gt_sort),
+                               rtol=0, atol=2e-2 * float(
+                                   np.abs(np.asarray(gt_sort)).max()))
+    np.testing.assert_allclose(np.asarray(gs_dense), np.asarray(gs_sort),
+                               rtol=1e-2, atol=1e-5)
+
+
 def test_folded_scene_encode_matches_standard():
     """Scene-folded fast path == standard 5D encode (same table)."""
     import jax
