@@ -35,8 +35,15 @@ from scenedreamer_tpu.models.discriminator import xavier_gain
 
 
 def _nearest(x, size):
+    """Nearest resize with torch `F.interpolate(mode='nearest')`
+    semantics: src index = floor(dst * in/out) (NOT cell centers like
+    `jax.image.resize`) — required for pixel-exact parity with the
+    reference oracle (`generators/spade.py:440,490-505`). For integer
+    upsampling both conventions are plain pixel repetition."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, size[0], size[1], c), 'nearest')
+    iy = jnp.floor(jnp.arange(size[0]) * (h / size[0])).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(size[1]) * (w / size[1])).astype(jnp.int32)
+    return x[:, iy][:, :, ix]
 
 
 def leaky_relu(x):
@@ -44,10 +51,11 @@ def leaky_relu(x):
 
 
 class FrozenBatchNorm(nn.Module):
-    """Affine-free batch norm with stored running stats
-    (`sync_batch` with affine=False in the reference; frozen-eval
-    semantics). `batch_stats` are converted from the torch checkpoint
-    or default to identity."""
+    """Batch norm with stored running stats + affine scale/offset
+    (`sync_batch` with affine=True per `generators/spade.py:90-93`;
+    frozen-eval semantics). All four tensors live in `batch_stats`:
+    converted from the torch checkpoint (weight->scale, bias->offset)
+    or defaulting to identity for random-init use."""
     features: int
     eps: float = 1e-5
 
@@ -57,7 +65,12 @@ class FrozenBatchNorm(nn.Module):
                              lambda: jnp.zeros((self.features,)))
         var = self.variable('batch_stats', 'var',
                             lambda: jnp.ones((self.features,)))
-        return (x - mean.value) * jax.lax.rsqrt(var.value + self.eps)
+        scale = self.variable('batch_stats', 'scale',
+                              lambda: jnp.ones((self.features,)))
+        offset = self.variable('batch_stats', 'offset',
+                               lambda: jnp.zeros((self.features,)))
+        return (x - mean.value) * jax.lax.rsqrt(var.value + self.eps) \
+            * scale.value + offset.value
 
 
 class SpadeNorm(nn.Module):
@@ -103,20 +116,24 @@ class SpadeRes2dBlock(nn.Module):
     in_features: int
     out_features: int
     kernel_size: int = 3
+    spade_filters: int = 128
+    spade_kernel: int = 5
 
     @nn.compact
     def __call__(self, x, seg):
         conv = functools.partial(nn.Conv, kernel_size=(self.kernel_size,
                                                        self.kernel_size),
                                  padding='SAME', kernel_init=xavier_gain())
+        norm = functools.partial(SpadeNorm, num_filters=self.spade_filters,
+                                 kernel_size=self.spade_kernel)
         h = conv(self.out_features, name='conv0')(
-            leaky_relu(SpadeNorm(self.in_features, name='norm0')(x, seg)))
+            leaky_relu(norm(self.in_features, name='norm0')(x, seg)))
         h = conv(self.out_features, name='conv1')(
-            leaky_relu(SpadeNorm(self.out_features, name='norm1')(h, seg)))
+            leaky_relu(norm(self.out_features, name='norm1')(h, seg)))
         if self.in_features != self.out_features:
             x = nn.Conv(self.out_features, (1, 1), use_bias=False,
                         kernel_init=xavier_gain(), name='conv_s')(
-                SpadeNorm(self.in_features, name='norm_s')(x, seg))
+                norm(self.in_features, name='norm_s')(x, seg))
         return h + x
 
 
@@ -145,6 +162,8 @@ class SPADEGenerator(nn.Module):
     kernel_size: int = 3
     style_dims: int = 256
     output_multiplier: float = 0.5
+    spade_filters: int = 128     # activation_norm_params.num_filters
+    spade_kernel: int = 5        # activation_norm_params.kernel_size
 
     @nn.compact
     def __call__(self, seg, z):
@@ -152,7 +171,9 @@ class SPADEGenerator(nn.Module):
         nf = self.num_filters
         base = {256: 16, 512: 32, 1024: 64}[self.out_size]
         res = functools.partial(SpadeRes2dBlock,
-                                kernel_size=self.kernel_size)
+                                kernel_size=self.kernel_size,
+                                spade_filters=self.spade_filters,
+                                spade_kernel=self.spade_kernel)
         cbn = functools.partial(CBNConvBlock,
                                 kernel_size=self.kernel_size)
 
@@ -255,13 +276,20 @@ class SPADEWrapper(nn.Module):
     style_dims: int = 256
     num_filters: int = 128
     output_multiplier: float = 0.5
+    spade_filters: int = 128
+    spade_kernel: int = 5
+    style_enc_filters: int = 64
 
     def setup(self):
         self.spade_generator = SPADEGenerator(
             num_labels=self.num_labels, out_size=self.out_size,
             style_dims=self.style_dims, num_filters=self.num_filters,
-            output_multiplier=self.output_multiplier)
-        self.style_encoder = SPADEStyleEncoder(style_dims=self.style_dims)
+            output_multiplier=self.output_multiplier,
+            spade_filters=self.spade_filters,
+            spade_kernel=self.spade_kernel)
+        self.style_encoder = SPADEStyleEncoder(
+            style_dims=self.style_dims,
+            num_filters=self.style_enc_filters)
 
     def __call__(self, data, random_style=False, rng=None):
         """data: {'label': [B,H,W,C] one-hot, optional 'images', 'z'}."""

@@ -48,22 +48,32 @@ def strip_prefixes(sd):
 
 
 def fold_spectral_norm(sd):
-    """Replace `w_orig`/`w_u`(/`w_v`) triplets with w_orig / sigma
-    (torch spectral_norm stores these; one power-iteration estimate)."""
+    """Replace `w_orig`/`w_u`/`w_v` triplets with w_orig / sigma.
+
+    Matches torch's eval-mode computation exactly (sigma = u . (W v)
+    with the STORED u and v buffers, `torch.nn.utils.spectral_norm`
+    `do_power_iteration=False` path); when v is absent, one power
+    half-iteration recovers it from u."""
     out = dict(sd)
     for k in list(sd.keys()):
         if k.endswith('weight_orig'):
             base = k[:-len('_orig')]
             w = _np(sd[k]).astype(np.float64)
             u = _np(sd.get(base + '_u')) if base + '_u' in sd else None
+            v = _np(sd.get(base + '_v')) if base + '_v' in sd else None
             mat = w.reshape(w.shape[0], -1)
             if u is None:
                 u = np.random.default_rng(0).normal(size=mat.shape[0])
                 u /= np.linalg.norm(u)
-            v = mat.T @ u
-            v /= max(np.linalg.norm(v), 1e-12)
+            if v is None:
+                v = mat.T @ u
+                v /= max(np.linalg.norm(v), 1e-12)
             sigma = float(u @ (mat @ v))
-            out[base] = (w / max(sigma, 1e-12)).astype(np.float32)
+            # torch divides by sigma signed and unclamped; a barely-
+            # iterated u/v pair can give a tiny or negative estimate
+            if abs(sigma) < 1e-12:
+                sigma = 1e-12 if sigma >= 0 else -1e-12
+            out[base] = (w / sigma).astype(np.float32)
             out.pop(k, None)
             out.pop(base + '_u', None)
             out.pop(base + '_v', None)
@@ -197,6 +207,119 @@ def convert_scenedreamer_generator(sd, style_enc_spatial=4):
     p['denoiser'] = dn
 
     return {'params': p}
+
+
+def _bn_stats(sd, tk):
+    """torch (sync_)BatchNorm running stats + affine -> FrozenBatchNorm
+    batch_stats (weight->scale, bias->offset)."""
+    out = {'mean': t2f(sd[tk + '.running_mean']),
+           'var': t2f(sd[tk + '.running_var'])}
+    out['scale'] = t2f(sd[tk + '.weight']) if tk + '.weight' in sd \
+        else jnp.ones_like(out['mean'])
+    out['offset'] = t2f(sd[tk + '.bias']) if tk + '.bias' in sd \
+        else jnp.zeros_like(out['mean'])
+    return out
+
+
+def _flax_dense(sd, tk, bias=True):
+    """torch Linear [out, in] -> flax nn.Dense kernel [in, out]."""
+    out = {'kernel': jnp.asarray(_np(sd[tk + '.weight']).T)}
+    if bias and tk + '.bias' in sd:
+        out['bias'] = t2f(sd[tk + '.bias'])
+    return out
+
+
+def convert_spade(sd, num_filters=128, style_enc_spatial=4):
+    """Reference SPADE `net_G` state dict -> `SPADEWrapper` variables
+    {'params': ..., 'batch_stats': ...}.
+
+    Key mapping (reference `generators/spade.py:228-571`,
+    `layers/activation_norm.py:130-263`, state-dict names verified by
+    instantiating the torch module):
+
+      * spectral norm folded first (W <- W / sigma) via `fold_spectral_norm`
+      * `<blk>.layers.conv`                        -> conv kernel/bias
+      * Res2dBlock `conv_block_{0,1,s}`            -> conv{0,1,s} + norm{0,1,_s}
+      * SpatiallyAdaptiveNorm `mlps.0.0/gammas.0/betas.0 .layers.conv`
+                                                   -> SpadeNorm mlp/gamma/beta
+      * `*.norm.norm.{running_mean,running_var,weight,bias}`
+                                                   -> batch_stats mean/var/scale/offset
+      * AdaptiveNorm `fc_gamma/fc_beta.layers.conv` (LinearBlock)
+                                                   -> Dense kernel (transposed)
+      * StyleEncoder fc_mu/fc_var                  -> NCHW->NHWC flatten fix
+    """
+    sd = fold_spectral_norm(strip_prefixes(sd))
+    p, bs = {}, {}
+
+    def spade_norm(tk):
+        """SpatiallyAdaptiveNorm -> (params, batch_stats)."""
+        prm = {'mlp': _conv(sd, tk + '.mlps.0.0.layers.conv'),
+               'gamma': _conv(sd, tk + '.gammas.0.layers.conv'),
+               'beta': _conv(sd, tk + '.betas.0.layers.conv')}
+        return prm, {'norm': _bn_stats(sd, tk + '.norm')}
+
+    def res_block(tk):
+        prm, stats = {}, {}
+        for tsub, conv_name, norm_name in (
+                ('conv_block_0', 'conv0', 'norm0'),
+                ('conv_block_1', 'conv1', 'norm1'),
+                ('conv_block_s', 'conv_s', 'norm_s')):
+            ck = f'{tk}.{tsub}.layers.conv'
+            if ck + '.weight' not in sd:
+                continue
+            prm[conv_name] = _conv(sd, ck)
+            nprm, nstats = spade_norm(f'{tk}.{tsub}.layers.norm')
+            prm[norm_name] = nprm
+            stats[norm_name] = nstats
+        return prm, stats
+
+    def cbn_block(tk):
+        prm = {'conv': _conv(sd, tk + '.layers.conv'),
+               'norm': {
+                   'fc_gamma': _flax_dense(sd,
+                                           tk + '.layers.norm.fc_gamma'
+                                           '.layers.conv'),
+                   'fc_beta': _flax_dense(sd,
+                                          tk + '.layers.norm.fc_beta'
+                                          '.layers.conv')}}
+        stats = {'norm': {'norm': _bn_stats(sd, tk + '.layers.norm.norm')}}
+        return prm, stats
+
+    g, gbs = {}, {}
+    g['fc_0'] = _flax_dense(sd, 'spade_generator.fc_0.layers.conv')
+    g['fc_1'] = _flax_dense(sd, 'spade_generator.fc_1.layers.conv')
+    g['head_0'] = _conv(sd, 'spade_generator.head_0.layers.conv')
+    for name in ('cbn_head_0', 'cbn_up_0a', 'cbn_up_1a', 'cbn_up_2a'):
+        if f'spade_generator.{name}.layers.conv.weight' in sd:
+            g[name], gbs[name] = cbn_block(f'spade_generator.{name}')
+    for name in ('head_1', 'head_2', 'up_0a', 'up_0b', 'up_1a', 'up_1b',
+                 'up_2a', 'up_2b', 'up_3a', 'up_3b', 'up_4a', 'up_4b'):
+        if f'spade_generator.{name}.conv_block_0.layers.conv.weight' in sd:
+            g[name], gbs[name] = res_block(f'spade_generator.{name}')
+    for name in ('conv_img256', 'conv_img512', 'conv_img1024'):
+        if f'spade_generator.{name}.layers.conv.weight' in sd:
+            g[name] = _conv(sd, f'spade_generator.{name}.layers.conv')
+    p['spade_generator'] = g
+    bs['spade_generator'] = gbs
+
+    if 'style_encoder.layer1.layers.conv.weight' in sd:
+        se = {}
+        for i in range(1, 7):
+            se[f'layer{i}'] = _conv(sd, f'style_encoder.layer{i}'
+                                    '.layers.conv')
+        for name in ('fc_mu', 'fc_var'):
+            tk = f'style_encoder.{name}.layers.conv'
+            w = _np(sd[tk + '.weight'])               # [S, C*h*w] NCHW
+            s_dim = w.shape[0]
+            hw = style_enc_spatial
+            c = w.shape[1] // (hw * hw)
+            w = w.reshape(s_dim, c, hw, hw).transpose(0, 2, 3, 1) \
+                 .reshape(s_dim, -1)
+            se[name] = {'kernel': jnp.asarray(w.T),
+                        'bias': t2f(sd[tk + '.bias'])}
+        p['style_encoder'] = se
+
+    return {'params': p, 'batch_stats': bs}
 
 
 def extract_tree_assets(ckpt):

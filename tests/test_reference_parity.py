@@ -196,3 +196,202 @@ def test_conditional_hashgrid_parity():
     our_out = ours.apply(params, jnp.asarray(height), jnp.asarray(sem))
     np.testing.assert_allclose(np.asarray(our_out), ref_out.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def _import_ref_spade():
+    """Import the reference SPADE generator with its CUDA-only /
+    absent-dependency imports stubbed (upfirdn2d_cuda, albumentations,
+    cv2 attrs, .cuda() on CPU)."""
+    import types
+    for stub in ('upfirdn2d_cuda', 'bias_act_cuda', 'albumentations',
+                 'cv2'):
+        if stub in sys.modules and not isinstance(
+                sys.modules[stub], types.ModuleType):
+            continue
+        if stub == 'cv2':
+            try:
+                import cv2  # noqa: F401
+                continue
+            except ImportError:
+                pass
+        m = sys.modules.get(stub) or types.ModuleType(stub)
+        if stub == 'albumentations':
+            m.DualTransform = object
+            m.BasicTransform = object
+        if stub == 'cv2':
+            m.setNumThreads = lambda *a: None
+            m.ocl = types.SimpleNamespace(setUseOpenCL=lambda *a: None)
+            m.INTER_NEAREST, m.INTER_LINEAR = 0, 1
+            m.INTER_CUBIC, m.INTER_AREA = 2, 3
+        sys.modules[stub] = m
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    from imaginaire.generators import spade as ref_spade
+    return ref_spade
+
+
+def _ref_spade_generator(num_labels=12, style_dims=16, num_filters=8,
+                         spade_filters=8, crop=512, seed=0):
+    """Construct the reference torch SPADE Generator
+    (`generators/spade.py:30-125`) with the landscape1m layout
+    (`configs/landscape1m.yaml:57-76`) at reduced width, with
+    randomized batch-norm running stats (frozen-eval oracle)."""
+    import types
+
+    def ns(**kw):
+        return types.SimpleNamespace(**kw)
+
+    class Aug:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+        def __getitem__(self, k):
+            return self.__dict__[k]
+
+    ref_spade = _import_ref_spade()
+    gen_cfg = ns(output_multiplier=0.5, image_channels=3,
+                 num_labels=num_labels, style_dims=style_dims,
+                 num_filters=num_filters, kernel_size=3,
+                 weight_norm_type='spectral',
+                 use_posenc_in_input_layer=False,
+                 global_adaptive_norm_type='sync_batch',
+                 activation_norm_params=ns(
+                     num_filters=spade_filters, kernel_size=5,
+                     separate_projection=True,
+                     activation_norm_type='sync_batch'),
+                 style_enc=ns(num_filters=4, kernel_size=3))
+    data_cfg = ns(train=ns(augmentations=Aug(
+        random_crop_h_w=f'{crop},{crop}')))
+    torch.manual_seed(seed)
+    g = ref_spade.Generator(gen_cfg, data_cfg)
+    # A random-weight SPADE net explodes in eval (multiplicative gammas
+    # with identity running stats); a trained oracle's BN stats absorb
+    # the scale. Emulate: cumulative-momentum BN + train-mode forwards
+    # so running stats match real activations, then freeze.
+    for mod in g.modules():
+        if hasattr(mod, 'running_mean') and mod.running_mean is not None:
+            mod.momentum = None
+    gen = np.random.default_rng(seed)
+    lbl = gen.integers(0, num_labels, (2, 64, 64))
+    seg = np.eye(num_labels, dtype=np.float32)[lbl].transpose(0, 3, 1, 2)
+    z = gen.normal(size=(2, style_dims)).astype(np.float32)
+    g.train()
+    with torch.no_grad():
+        for _ in range(2):
+            g.spade_generator({'label': _t(seg), 'z': _t(z)})
+    g.eval()
+    return g
+
+
+def test_spade_generator_parity():
+    """Our SPADE oracle vs the reference `generators/spade.py:228-508`
+    with converted weights (spectral norm folded, BN stats mapped) —
+    the VERDICT round-1 item: the pseudo-GT training signal must be
+    numerically the reference's."""
+    from scenedreamer_tpu.models.spade import SPADEWrapper
+    from scenedreamer_tpu.utils.convert import convert_spade
+
+    g = _ref_spade_generator()
+    rng = np.random.default_rng(7)
+    lbl = rng.integers(0, 12, (1, 128, 128))
+    seg = np.eye(12, dtype=np.float32)[lbl]            # [1,128,128,12] NHWC
+    z = rng.normal(size=(1, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = g.spade_generator(
+            {'label': _t(seg.transpose(0, 3, 1, 2)), 'z': _t(z)}
+        )['fake_images'].numpy()
+
+    model = SPADEWrapper(num_labels=12, out_size=512, style_dims=16,
+                         num_filters=8, spade_filters=8)
+    variables = convert_spade(g.state_dict(), num_filters=8)
+    out = model.apply(variables, {'label': jnp.asarray(seg),
+                                  'z': jnp.asarray(z)})
+    ours = np.asarray(out['fake_images']).transpose(0, 3, 1, 2)
+    assert ours.shape == ref_out.shape
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def test_spade_style_encoder_parity():
+    """Our SPADE style encoder (VAE mu/logvar) vs the reference
+    `generators/spade.py:511-571` with converted weights."""
+    from scenedreamer_tpu.models.spade import SPADEWrapper
+    from scenedreamer_tpu.utils.convert import convert_spade
+
+    g = _ref_spade_generator(seed=1)
+    rng = np.random.default_rng(9)
+    img = rng.normal(size=(1, 256, 256, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        mu_ref, logvar_ref, _ = g.style_encoder(
+            _t(np.ascontiguousarray(img.transpose(0, 3, 1, 2))))
+
+    model = SPADEWrapper(num_labels=12, out_size=512, style_dims=16,
+                         num_filters=8, spade_filters=8,
+                         style_enc_filters=4)
+    variables = convert_spade(g.state_dict(), num_filters=8)
+
+    def enc(v, x):
+        return model.apply(v, x, rng=jax.random.PRNGKey(0),
+                           method=lambda m, x, rng: m.style_encoder(
+                               x, rng=rng))
+
+    mu, logvar, _ = enc(variables, jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(mu), mu_ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(logvar), logvar_ref.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_partial_conv2d_parity():
+    """Our PartialConv2d vs `layers/conv.py:1222-1305` with shared
+    weights and an irregular mask."""
+    _import_ref_spade()          # stubs CUDA-only imports
+    from imaginaire.layers.conv import PartialConv2d as RefPC
+    from scenedreamer_tpu.models.blocks import PartialConv2d
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(2, 12, 12, 5)).astype(np.float32)
+    mask = (rng.random((2, 12, 12, 1)) > 0.4).astype(np.float32)
+
+    ours = PartialConv2d(features=7, kernel_size=3)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                          jnp.asarray(mask))
+    ref = RefPC(5, 7, 3, padding=1, multi_channel=False,
+                return_mask=True)
+    k = np.asarray(variables['params']['conv']['kernel'])
+    ref.weight.data = _t(np.ascontiguousarray(k.transpose(3, 2, 0, 1)))
+    ref.bias.data = _t(np.asarray(variables['params']['conv']['bias']))
+
+    with torch.no_grad():
+        ref_out, ref_mask = ref(
+            _t(np.ascontiguousarray(x.transpose(0, 3, 1, 2))),
+            mask_in=_t(np.ascontiguousarray(mask.transpose(0, 3, 1, 2))))
+    out, m = ours.apply(variables, jnp.asarray(x), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref_out.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m).transpose(0, 3, 1, 2),
+                               ref_mask.numpy(), atol=1e-6)
+
+
+def test_hyper_conv2d_parity():
+    """Our vmapped hyper_conv2d vs `layers/conv.py:806-888` (per-sample
+    loop of F.conv2d)."""
+    _import_ref_spade()
+    from imaginaire.layers.conv import HyperConv2d as RefHC
+    from scenedreamer_tpu.models.blocks import hyper_conv2d
+
+    rng = np.random.default_rng(22)
+    N, Cin, Cout, K = 3, 4, 6, 3
+    x = rng.normal(size=(N, 10, 10, Cin)).astype(np.float32)
+    w = rng.normal(size=(N, Cout, Cin, K, K)).astype(np.float32) * 0.2
+    b = rng.normal(size=(N, Cout)).astype(np.float32)
+
+    ref = RefHC(Cin, Cout, kernel_size=K, stride=1, padding=1, bias=True)
+    with torch.no_grad():
+        ref_out = ref(_t(np.ascontiguousarray(x.transpose(0, 3, 1, 2))),
+                      conv_weights=(_t(w), _t(b)))
+    ours = hyper_conv2d(jnp.asarray(x),
+                        jnp.asarray(w.transpose(0, 3, 4, 2, 1)),
+                        jnp.asarray(b), stride=1, padding=1)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               ref_out.numpy(), rtol=1e-4, atol=1e-5)
