@@ -403,3 +403,144 @@ class Res2dBlockDown(nn.Module):
                          nonlinearity='none', order='C', blur=self.blur,
                          dtype=self.dtype, name='cs')(x, update_stats)
         return h + xs
+
+
+class PartialConv2d(nn.Module):
+    """Partial convolution (Liu et al. ECCV 2018;
+    `layers/conv.py:1222-1305` PartialConv2d).
+
+    NHWC. The mask-sum renormalization conv is a constant-weight
+    depthwise/full conv XLA folds into one fused reduce; eps and
+    bias handling match the reference exactly (eps 1e-6, bias added
+    back outside the renormalization, output zeroed where the window
+    saw no valid input).
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    use_bias: bool = True
+    multi_channel: bool = False
+    return_mask: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask_in=None):
+        k = self.kernel_size
+        pad = (k - 1) // 2
+        conv = nn.Conv(self.features, (k, k),
+                       strides=(self.stride, self.stride),
+                       padding=((pad, pad), (pad, pad)),
+                       use_bias=self.use_bias, kernel_init=xavier_gain(),
+                       name='conv')
+        cin = x.shape[-1]
+        if mask_in is None:
+            mask = jnp.ones(x.shape[:3] + ((cin,) if self.multi_channel
+                                           else (1,)), x.dtype)
+        else:
+            mask = mask_in
+        win = jax.lax.reduce_window(
+            mask, 0.0, jax.lax.add, (1, k, k, 1),
+            (1, self.stride, self.stride, 1),
+            ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        if self.multi_channel:
+            win = jnp.sum(win, axis=-1, keepdims=True)
+            slide = float(cin * k * k)
+        else:
+            slide = float(k * k)
+        mask_ratio = slide / (win + 1e-6)
+        update_mask = jnp.clip(win, 0.0, 1.0)
+        mask_ratio = mask_ratio * update_mask
+
+        raw = conv(x * mask if mask_in is not None else x)
+        if self.use_bias:
+            b = self.variables['params']['conv']['bias']
+            out = (raw - b) * mask_ratio + b
+            out = out * update_mask
+        else:
+            out = raw * mask_ratio
+        if self.return_mask:
+            return out, update_mask
+        return out
+
+
+def hyper_conv2d(x, conv_weight, conv_bias=None, stride=1, padding=1,
+                 dilation=1):
+    """Per-sample-weight convolution (`layers/conv.py:806-888`
+    HyperConv2d): weights come from a hypernetwork, one kernel per
+    batch item.
+
+    TPU-native: instead of the reference's per-sample Python loop of
+    cuDNN calls, ONE vmapped `lax.conv_general_dilated` — XLA lowers it
+    to a batched convolution on the MXU.
+
+    Args:
+        x: [N, H, W, Cin].
+        conv_weight: [N, kh, kw, Cin, Cout] per-sample HWIO kernels.
+        conv_bias: optional [N, Cout].
+    Returns: [N, H', W', Cout].
+    """
+    if conv_weight is None:
+        return x
+
+    def one(xi, wi):
+        return jax.lax.conv_general_dilated(
+            xi[None], wi, (stride, stride),
+            ((padding, padding), (padding, padding)),
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))[0]
+
+    out = jax.vmap(one)(x, conv_weight)
+    if conv_bias is not None:
+        out = out + conv_bias[:, None, None, :]
+    return out
+
+
+class HyperConv2dBlock(nn.Module):
+    """Order-string block around `hyper_conv2d`
+    (`layers/conv.py:694-804` _BaseHyperConvBlock / HyperConv2dBlock).
+    The conv weights arrive as call inputs (hypernetwork outputs), so
+    the block owns no kernel parameters — only the optional norm."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    activation_norm_type: str = 'none'
+    nonlinearity: str = 'leakyrelu'
+    order: str = 'CNA'
+
+    @nn.compact
+    def __call__(self, x, conv_weights=(None, None)):
+        w, b = (conv_weights if isinstance(conv_weights, (tuple, list))
+                else (conv_weights, None))
+        for i, op in enumerate(self.order.upper()):
+            if op == 'C':
+                x = hyper_conv2d(x, w, b, stride=self.stride,
+                                 padding=(self.kernel_size - 1) // 2)
+            elif op == 'N':
+                norm = make_norm(self.activation_norm_type, x.shape[-1])
+                if norm is not None:
+                    x = norm(x)
+            elif op == 'A':
+                if self.nonlinearity not in (None, 'none', ''):
+                    x = bias_act(x, act=self.nonlinearity)
+        return x
+
+
+class ConstantInput(nn.Module):
+    """Learned constant input map (`layers/misc.py:51-76`; StyleGAN2
+    head). Returns the constant broadcast to the batch size."""
+    features: int
+    size: int = 4
+
+    @nn.compact
+    def __call__(self, batch_size):
+        const = self.param('const', nn.initializers.normal(1.0),
+                           (1, self.size, self.size, self.features))
+        return jnp.broadcast_to(
+            const, (batch_size,) + const.shape[1:])
+
+
+# `layers/vit.py` ViT2dBlock is the same Conv/Norm/Act order-string
+# machinery as Conv2dBlock with the fused-bias-activation and blur
+# options — all of which `Conv2dBlock` + `bias_act` + `Blur` above
+# already provide; no SceneDreamer config instantiates it, so it is an
+# alias here for API parity.
+ViT2dBlock = Conv2dBlock
