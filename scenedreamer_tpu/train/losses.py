@@ -69,10 +69,9 @@ def feature_matching_loss(fake_features, real_features):
 
 
 def gaussian_kl_loss(mu, logvar):
-    """-0.5 * mean_batch sum(1 + logvar - mu^2 - e^logvar)
-    (`losses/kl.py:9-23`)."""
-    kl = -0.5 * jnp.sum(1.0 + logvar - mu ** 2 - jnp.exp(logvar), axis=-1)
-    return jnp.mean(kl)
+    """-0.5 * sum(1 + logvar - mu^2 - e^logvar) (`losses/kl.py:9-23`;
+    the reference sums over batch too — grad-parity tested)."""
+    return -0.5 * jnp.sum(1.0 + logvar - mu ** 2 - jnp.exp(logvar))
 
 
 def l2_loss(x, y):
