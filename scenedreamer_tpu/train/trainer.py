@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from scenedreamer_tpu.train import losses as L
 from scenedreamer_tpu.train import optim
@@ -93,7 +94,8 @@ class GANTrainer:
     def __init__(self, generator, discriminator, voxel_dims,
                  cfg: TrainerConfig = TrainerConfig(),
                  perceptual: Optional[L.PerceptualLoss] = None,
-                 g_tx=None, d_tx=None, iters_per_epoch=1000):
+                 g_tx=None, d_tx=None, iters_per_epoch=1000,
+                 mesh=None):
         self.gen = generator
         self.dis = discriminator
         self.voxel_dims = None if voxel_dims is None \
@@ -107,6 +109,38 @@ class GANTrainer:
         self._iters_per_epoch = iters_per_epoch
         self._dis_step_j = None
         self._gen_step_j = None
+        # when set, discriminator inputs are constrained to batch-only
+        # sharding (see `_constrain_dis_inputs`)
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------
+    def _constrain_dis_inputs(self, batch, g_out):
+        """Reshard discriminator inputs to P('data') (batch-only).
+
+        The renderer shards image rows on the 'rays' mesh axis, but the
+        FPSE discriminator downsamples 5x — deep layers have too few
+        rows to shard, and GSPMD falls back to 'involuntary full
+        rematerialization' on their gradient accumulations (the
+        round-1 MULTICHIP log). One clean reshard of the [B, H, W, C]
+        images at the D boundary replaces dozens of bad-layout
+        conversions; the reference's analog is the DDP allreduce
+        boundary (`utils/distributed.py:75-117`)."""
+        if self.mesh is None or self.mesh.shape.get('rays', 1) == 1:
+            return batch, g_out
+        sh = NamedSharding(self.mesh, P('data'))
+        n_data = self.mesh.shape['data']
+
+        def c(x):
+            if hasattr(x, 'ndim') and x.ndim >= 3 \
+                    and x.shape[0] % n_data == 0:
+                return jax.lax.with_sharding_constraint(x, sh)
+            return x
+
+        keys = ('images', 'pseudo_real_img', 'fake_masks', 'real_masks')
+        batch = {**batch,
+                 **{k: c(batch[k]) for k in keys if k in batch}}
+        g_out = {**g_out, 'fake_images': c(g_out['fake_images'])}
+        return batch, g_out
 
     # ------------------------------------------------------------------
     def init_state(self, key, sample_batch):
@@ -161,10 +195,11 @@ class GANTrainer:
         g_out = self._gen_apply(state.g_params, batch, key)
         g_out = jax.lax.stop_gradient(
             {'fake_images': g_out['fake_images']})
+        d_batch, g_out = self._constrain_dis_inputs(batch, g_out)
 
         def loss_fn(d_params):
             d_out, new_stats = self._dis_apply(
-                d_params, state.d_stats, batch, g_out,
+                d_params, state.d_stats, d_batch, g_out,
                 incl_real='gan' in w, incl_pseudo_real='pseudo_gan' in w,
                 update_stats=True)
             total = 0.0
@@ -209,8 +244,10 @@ class GANTrainer:
             total = 0.0
             m = {}
             if 'gan' in w or 'pseudo_gan' in w:
+                d_batch, g_out_c = self._constrain_dis_inputs(batch,
+                                                              g_out)
                 d_out, _ = self._dis_apply(
-                    state.d_params, state.d_stats, batch, g_out,
+                    state.d_params, state.d_stats, d_batch, g_out_c,
                     incl_real=False, incl_pseudo_real=incl_preal,
                     update_stats=False)
                 gl = L.gan_loss(d_out['fake_outputs'], True,
@@ -301,9 +338,28 @@ def latest_checkpoint(ckpt_dir):
 
 
 def load_checkpoint(ckpt_dir, target_state=None):
+    """Restore the latest checkpoint; when `target_state` holds sharded
+    / replicated jax.Arrays (mesh training), each restored leaf is
+    placed back with the target's sharding via
+    `make_array_from_callback` (multi-host safe: every process reads
+    the shared checkpoint and materializes only its addressable
+    shards)."""
     import orbax.checkpoint as ocp
     path = latest_checkpoint(ckpt_dir)
     if path is None:
         return None
-    restored = ocp.PyTreeCheckpointer().restore(path, item=target_state)
-    return restored
+    host_target = None if target_state is None \
+        else jax.device_get(target_state)
+    restored = ocp.PyTreeCheckpointer().restore(path, item=host_target)
+    if target_state is None:
+        return restored
+    import numpy as np
+
+    def place(r, t):
+        if isinstance(t, jax.Array) and hasattr(t, 'sharding'):
+            arr = np.asarray(r, dtype=t.dtype)
+            return jax.make_array_from_callback(
+                arr.shape, t.sharding, lambda idx: arr[idx])
+        return r
+
+    return jax.tree_util.tree_map(place, restored, target_state)

