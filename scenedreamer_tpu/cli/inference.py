@@ -57,6 +57,9 @@ def main(argv=None):
     p.add_argument('--pad', type=int, default=30)
     p.add_argument('--tile_size', type=int, default=128)
     p.add_argument('--fps', type=int, default=10)
+    p.add_argument('--mesh_tiles', action='store_true',
+                   help='fan frame tiles out over all devices in one '
+                        'dispatch (multi-chip inference)')
     p.add_argument('--save_depth', action='store_true',
                    help='also write depth + voxel-id frames '
                         '(reference inference_givenstyle_depth)')
@@ -92,6 +95,10 @@ def main(argv=None):
     style = jax.random.normal(jax.random.PRNGKey(a.seed),
                               (1, cfg.style_dims))
     os.makedirs(a.output_dir, exist_ok=True)
+    mesh = None
+    if a.mesh_tiles:
+        from scenedreamer_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
     render_trajectory(
         model, params, world, style, a.output_dir,
         camera_mode=a.camera_mode, cam_maxstep=a.cam_maxstep,
@@ -99,7 +106,7 @@ def main(argv=None):
         num_blocks_early_stop=a.num_blocks_early_stop,
         sample_depth=a.sample_depth, pad=a.pad, tile_size=a.tile_size,
         resolution_hw=tuple(a.resolution), fps=a.fps, seed=a.seed,
-        save_depth=a.save_depth)
+        save_depth=a.save_depth, mesh=mesh)
     print(f'[inference] wrote {a.output_dir}/rgb_render(.mp4)')
 
 

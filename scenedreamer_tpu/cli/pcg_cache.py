@@ -22,10 +22,21 @@ def cache_one(terrain_dir, outdir, crop, seed, fill_depth=8):
     import numpy as np
     from scenedreamer_tpu.scene.voxel_world import (build_voxel_world,
                                                     save_world_cache)
-    height = np.load(os.path.join(terrain_dir, 'heightmap.npy'))
-    semantic = cv2.imread(os.path.join(terrain_dir, 'semanticmap.png'),
+    def first(*names):
+        for n in names:
+            path = os.path.join(terrain_dir, n)
+            if os.path.exists(path):
+                return path
+        raise FileNotFoundError(f'{names} in {terrain_dir}')
+
+    # accept both our inference naming and the reference's training
+    # naming (`scripts/single_terrain_gen.py:455-467` writes
+    # biome_rivers_*; `scripts/pcg_cache.py:52-56` reads them)
+    height = np.load(first('heightmap.npy', 'biome_rivers_height.npy'))
+    semantic = cv2.imread(first('semanticmap.png',
+                                'biome_rivers_labels.png'),
                           cv2.IMREAD_GRAYSCALE)
-    tree = cv2.imread(os.path.join(terrain_dir, 'treemap.png'),
+    tree = cv2.imread(first('treemap.png', 'biome_trees_dist.png'),
                       cv2.IMREAD_GRAYSCALE)
     size = height.shape[0]
     rng = np.random.default_rng(seed)
@@ -52,14 +63,17 @@ def main(argv=None):
     p.add_argument('--seed', type=int, default=0)
     a = p.parse_args(argv)
 
-    if os.path.exists(os.path.join(a.terrain_dir, 'heightmap.npy')):
+    def has_height(d):
+        return any(os.path.exists(os.path.join(d, n))
+                   for n in ('heightmap.npy', 'biome_rivers_height.npy'))
+
+    if has_height(a.terrain_dir):
         scenes = [a.terrain_dir]
     else:
         scenes = sorted(
             os.path.join(a.terrain_dir, d)
             for d in os.listdir(a.terrain_dir)
-            if os.path.exists(os.path.join(a.terrain_dir, d,
-                                           'heightmap.npy')))
+            if has_height(os.path.join(a.terrain_dir, d)))
     for i, scene in enumerate(scenes):
         out = os.path.join(a.outdir, os.path.basename(
             os.path.normpath(scene)))

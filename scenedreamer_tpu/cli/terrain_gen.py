@@ -30,6 +30,19 @@ def generate_one(seed, size, outdir):
                 maps.tree_map.astype('uint8'))
     cv2.imwrite(os.path.join(outdir, 'colormap.png'),
                 maps.color_map[..., ::-1])
+    # training-cache naming (`scripts/single_terrain_gen.py:455-467`,
+    # `save_height_map` `:17-21`): the reference `scripts/pcg_cache.py`
+    # reads exactly these files, so terrain datasets interop both ways
+    np.save(os.path.join(outdir, 'biome_rivers_height.npy'),
+            maps.height_map.astype(np.float64))
+    h = maps.height_map
+    norm = ((h - h.min()) / max(h.max() - h.min(), 1e-9) * 255)
+    cv2.imwrite(os.path.join(outdir, 'biome_rivers_height.png'),
+                norm.astype('uint8'))
+    cv2.imwrite(os.path.join(outdir, 'biome_rivers_labels.png'),
+                maps.semantic_map.astype('uint8'))
+    cv2.imwrite(os.path.join(outdir, 'biome_trees_dist.png'),
+                maps.tree_map.astype('uint8'))
     return outdir
 
 

@@ -95,9 +95,19 @@ def build_everything(cfg, args):
                           'style': jax.random.PRNGKey(1)},
                          {'label': seg0}, random_style=True)
     if args.spade_checkpoint:
-        import orbax.checkpoint as ocp
-        sp_vars = ocp.PyTreeCheckpointer().restore(
-            args.spade_checkpoint, item=sp_vars)
+        if args.spade_checkpoint.endswith(('.pt', '.pth')):
+            # reference torch checkpoint (`trainers/gancraft.py:30-42`
+            # loads the trained landscape1m SPADE as the oracle)
+            from scenedreamer_tpu.utils.convert import (
+                convert_spade, load_torch_checkpoint)
+            ckpt = load_torch_checkpoint(args.spade_checkpoint)
+            sd = ckpt.get('net_G', ckpt) if isinstance(ckpt, dict) \
+                else ckpt
+            sp_vars = convert_spade(sd, num_filters=args.spade_filters)
+        else:
+            import orbax.checkpoint as ocp
+            sp_vars = ocp.PyTreeCheckpointer().restore(
+                args.spade_checkpoint, item=sp_vars)
         print('[train] loaded SPADE oracle weights')
     else:
         print('[train] WARNING: SPADE oracle randomly initialized '
@@ -127,6 +137,10 @@ def build_everything(cfg, args):
     # losses / trainer
     lw = dict(cfg.get('trainer', {}).get('loss_weight',
                                          L.DEFAULT_LOSS_WEIGHTS))
+    if not lw:
+        # Config injects an empty loss_weight default (`config.py:86`);
+        # an empty dict would train with a constant-zero objective
+        lw = dict(L.DEFAULT_LOSS_WEIGHTS)
     perc_cfg = cfg.get('trainer', {}).get('perceptual_loss', None)
     perceptual = None
     if 'perceptual' in lw:
@@ -136,12 +150,22 @@ def build_everything(cfg, args):
                           weights=tuple(perc_cfg['weights']))
         perceptual = L.PerceptualLoss(**kwargs)
     ema_cfg = cfg.get('trainer', {}).get('model_average_config', {})
+    ema_beta = 0.0
+    if ema_cfg.get('enabled', False):
+        if 'g_smooth_img' in ema_cfg:
+            # half-life parameterization (`utils/trainer.py:158-167`):
+            # beta = 0.5 ** (global_batch / g_smooth_img)
+            import jax as _jax
+            global_batch = args.batch_size * _jax.process_count()
+            ema_beta = 0.5 ** (global_batch
+                               / float(ema_cfg['g_smooth_img']))
+        else:
+            ema_beta = float(ema_cfg.get('beta', 0.9999))
     trainer = GANTrainer(
         generator, discriminator, voxel_dims=None,  # set per world
         cfg=TrainerConfig(
             loss_weights=lw,
-            ema_beta=float(ema_cfg.get('beta', 0.9999))
-            if ema_cfg.get('enabled', False) else 0.0),
+            ema_beta=ema_beta),
         perceptual=perceptual, iters_per_epoch=max(len(loader), 1))
     return (generator, discriminator, loader, world_cache, builder,
             trainer, gcfg)
@@ -168,6 +192,9 @@ def main(argv=None):
     p.add_argument('--max-iter', type=int, default=None)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--mesh-rays', type=int, default=1,
+                   help='size of the rays (image-row) mesh axis; '
+                        'data axis = devices // rays')
     p.add_argument('--platform', default=None,
                    help="force a jax platform (e.g. 'cpu'); with cpu, "
                         'JAX_NUM_CPU_DEVICES controls the device count')
@@ -205,6 +232,15 @@ def main(argv=None):
     (gen, dis, loader, world_cache, builder, trainer, gcfg) = \
         build_everything(cfg, a)
 
+    # multi-device: ('data', 'rays') mesh, params replicated, batches
+    # sharded; the DDP analog (`utils/trainer.py:205-236`)
+    mesh = None
+    if jax.device_count() > 1:
+        from scenedreamer_tpu.parallel import mesh as pm
+        mesh = pm.make_mesh(rays=a.mesh_rays)
+        trainer.mesh = mesh
+        print(f'[train] mesh {dict(mesh.shape)}')
+
     logdir = make_logging_dir(a.logdir, cfg.get('name', 'scenedreamer'))
     writer = MetricsWriter(logdir)
     ckpt_dir = os.path.join(logdir, 'checkpoints')
@@ -230,9 +266,13 @@ def main(argv=None):
             data = {k: jax.numpy.asarray(v) for k, v in data_np.items()
                     if k in ('images', 'label')}
             batch = builder(data, world, rng, k_batch)
+            if mesh is not None:
+                batch = pm.shard_batch(mesh, batch)
             if state is None:
                 state = trainer.init_state(jax.random.PRNGKey(a.seed),
                                            batch)
+                if mesh is not None:
+                    state = pm.replicate(mesh, state)
                 if a.resume:
                     resume_dir = _find_resume_dir(a.logdir, ckpt_dir)
                     restored = load_checkpoint(resume_dir, state) \

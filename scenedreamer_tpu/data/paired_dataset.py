@@ -37,6 +37,20 @@ class AugmentConfig:
     horizontal_flip: bool = True
     random_crop_h_w: tuple = (256, 256)
 
+    def to_ops(self):
+        """Ordered op dict equivalent (the yaml order the reference
+        feeds `_build_augmentation_ops`, `utils/data.py:93-175`)."""
+        ops = {}
+        if self.resize_smallest_side:
+            ops['resize_smallest_side'] = self.resize_smallest_side
+        if self.random_scale_limit:
+            ops['random_scale_limit'] = self.random_scale_limit
+        if self.horizontal_flip:
+            ops['horizontal_flip'] = True
+        if self.random_crop_h_w:
+            ops['random_crop_h_w'] = tuple(self.random_crop_h_w)
+        return ops
+
 
 def make_one_hot(seg, num_classes=183, use_dont_care=True):
     """[H, W] int mask -> [H, W, num_classes(+1)] one-hot; values outside
@@ -61,35 +75,110 @@ def concat_labels(data, label_keys=('seg_maps',)):
 
 
 class Augmentor:
-    """Joint image+mask augmentation (`utils/data.py:28-120` subset used
-    by the shipped config)."""
+    """Joint image+mask augmentation pipeline.
 
-    def __init__(self, cfg: AugmentConfig = AugmentConfig()):
+    General op-for-op equivalent of the reference albumentations
+    pipeline (`utils/data.py:93-175` `_build_augmentation_ops`),
+    implemented with cv2/numpy (albumentations is not in this image):
+    resize_smallest_side, resize_h_w, rotate, random_rotate_90,
+    random_scale_limit (factor in [1, 1+limit], `utils/data.py:127` and
+    the yaml comment `scenedreamer_train.yaml:202`), random_crop_h_w,
+    center_crop_h_w, horizontal_flip, plus the photometric extras
+    (contrast, blur, gamma) on the image only. Ops apply in dict order
+    like the yaml. Geometry ops apply jointly to image (linear) and seg
+    (nearest)."""
+
+    def __init__(self, cfg=None):
+        cfg = AugmentConfig() if cfg is None else cfg
         self.cfg = cfg
+        self.ops = cfg if isinstance(cfg, dict) else cfg.to_ops()
+        # guarantee a deterministic final shape when a crop is present
+        self.crop = None
+        for k in ('random_crop_h_w', 'center_crop_h_w'):
+            if k in self.ops:
+                self.crop = tuple(self.ops[k])
 
-    def __call__(self, image, seg, rng):
+    def _resize(self, image, seg, nh, nw):
         import cv2
-        c = self.cfg
-        h, w = image.shape[:2]
-        # resize smallest side (+ random scale)
-        scale = c.resize_smallest_side / min(h, w)
-        if c.random_scale_limit > 0:
-            scale *= 1.0 + rng.random() * c.random_scale_limit
-        nh, nw = max(int(round(h * scale)), c.random_crop_h_w[0]), \
-            max(int(round(w * scale)), c.random_crop_h_w[1])
+        if self.crop:
+            nh = max(nh, self.crop[0])
+            nw = max(nw, self.crop[1])
         image = cv2.resize(image, (nw, nh),
                            interpolation=cv2.INTER_LINEAR)
         seg = cv2.resize(seg, (nw, nh), interpolation=cv2.INTER_NEAREST)
-        # random crop
-        ch, cw = c.random_crop_h_w
-        y0 = rng.integers(0, nh - ch + 1)
-        x0 = rng.integers(0, nw - cw + 1)
-        image = image[y0:y0 + ch, x0:x0 + cw]
-        seg = seg[y0:y0 + ch, x0:x0 + cw]
-        # hflip
-        if c.horizontal_flip and rng.random() < 0.5:
-            image = image[:, ::-1]
-            seg = seg[:, ::-1]
+        return image, seg
+
+    def __call__(self, image, seg, rng):
+        import cv2
+        for key, value in self.ops.items():
+            h, w = image.shape[:2]
+            if key == 'resize_smallest_side':
+                s = value / min(h, w)
+                image, seg = self._resize(image, seg,
+                                          int(round(h * s)),
+                                          int(round(w * s)))
+            elif key == 'resize_h_w':
+                image, seg = self._resize(image, seg, value[0], value[1])
+            elif key == 'rotate' and value:
+                ang = rng.uniform(-value, value)
+                mat = cv2.getRotationMatrix2D((w / 2, h / 2), ang, 1.0)
+                image = cv2.warpAffine(image, mat, (w, h),
+                                       flags=cv2.INTER_LINEAR,
+                                       borderMode=cv2.BORDER_REFLECT_101)
+                seg = cv2.warpAffine(seg, mat, (w, h),
+                                     flags=cv2.INTER_NEAREST,
+                                     borderMode=cv2.BORDER_REFLECT_101)
+            elif key == 'random_rotate_90':
+                if rng.random() < 0.5:
+                    k = int(rng.integers(0, 4))
+                    image = np.rot90(image, k)
+                    seg = np.rot90(seg, k)
+            elif key == 'random_scale_limit' and value:
+                s = 1.0 + rng.random() * value
+                image, seg = self._resize(image, seg,
+                                          int(round(h * s)),
+                                          int(round(w * s)))
+            elif key == 'random_crop_h_w':
+                ch, cw = value
+                y0 = rng.integers(0, h - ch + 1)
+                x0 = rng.integers(0, w - cw + 1)
+                image = image[y0:y0 + ch, x0:x0 + cw]
+                seg = seg[y0:y0 + ch, x0:x0 + cw]
+            elif key == 'center_crop_h_w':
+                ch, cw = value
+                y0, x0 = (h - ch) // 2, (w - cw) // 2
+                image = image[y0:y0 + ch, x0:x0 + cw]
+                seg = seg[y0:y0 + ch, x0:x0 + cw]
+            elif key == 'horizontal_flip':
+                if value and rng.random() < 0.5:
+                    image = image[:, ::-1]
+                    seg = seg[:, ::-1]
+            elif key == 'contrast':
+                if rng.random() < value.get('p', 1.0):
+                    b = rng.uniform(-value['brightness_limit'],
+                                    value['brightness_limit'])
+                    ct = rng.uniform(-value['contrast_limit'],
+                                     value['contrast_limit'])
+                    img_f = image.astype(np.float32)
+                    mean = img_f.mean()
+                    img_f = (img_f - mean) * (1 + ct) + mean + 255 * b
+                    image = np.clip(img_f, 0, 255).astype(image.dtype)
+            elif key == 'blur':
+                if rng.random() < value.get('p', 1.0):
+                    k = int(rng.integers(3, max(value['blur_limit'],
+                                                3) + 1)) | 1
+                    image = cv2.blur(image, (k, k))
+            elif key == 'gamma':
+                if rng.random() < value.get('p', 1.0):
+                    g = rng.uniform(value['gamma_limit_lb'],
+                                    value['gamma_limit_ub']) / 100.0
+                    img_f = image.astype(np.float32) / 255.0
+                    image = np.clip(img_f ** g * 255, 0,
+                                    255).astype(image.dtype)
+            else:
+                if key not in ('resize_smallest_side', 'rotate',
+                               'random_scale_limit'):
+                    raise ValueError(f'Unknown augmentation {key}')
         return np.ascontiguousarray(image), np.ascontiguousarray(seg)
 
 

@@ -77,7 +77,7 @@ class TiledRenderer:
     def __init__(self, model, params, world, num_samples=40,
                  num_blocks_early_stop=6, sample_depth=3.0, pad=30,
                  tile_size=128, resolution_hw=(540, 960), fov=26.0,
-                 tiles_per_batch=1):
+                 tiles_per_batch=1, mesh=None):
         self.model = model
         self.params = params
         self.world = world
@@ -87,6 +87,12 @@ class TiledRenderer:
         self.pad = pad
         self.tile = tile_size
         self.tiles_per_batch = max(1, tiles_per_batch)
+        # mesh mode: ALL tiles of a frame are stacked on the leading
+        # axis, sharded across every mesh device, and rendered in ONE
+        # dispatch — the parallel version of the reference's sequential
+        # tile loop (`scenedreamer.py:600-628`); tiles are independent
+        # so no communication is emitted
+        self.mesh = mesh
         self.res = tuple(resolution_hw)
         self.cam_res = (self.res[0] + pad, self.res[1] + pad)
         self.fov = fov
@@ -188,6 +194,10 @@ class TiledRenderer:
             for x0 in range(0, self.res[1], self.tile):
                 coords.append((min(y0, h - tile_in),
                                min(x0, w - tile_in)))
+        if self.mesh is not None:
+            return self._frame_mesh(coords, tile_in, vid, dep, hit,
+                                    raydirs, cam_ori, z, sky_avg, key,
+                                    out, out_d, return_aux)
         # optionally batch tiles per dispatch (padding keeps ONE
         # compiled shape). Measured on v5e the default of 1 is fastest
         # (batched tiles blew up the gather transients); >1 remains
@@ -225,13 +235,55 @@ class TiledRenderer:
             }
         return out
 
+    def _frame_mesh(self, coords, tile_in, vid, dep, hit, raydirs,
+                    cam_ori, z, sky_avg, key, out, out_d, return_aux):
+        """All tiles in one sharded dispatch over `self.mesh`."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_dev = int(np.prod([self.mesh.shape[a]
+                             for a in self.mesh.axis_names]))
+        t = len(coords)
+        tpad = (-t) % n_dev
+        coords_full = coords + [coords[-1]] * tpad
+        b = len(coords_full)
+        spec = P(tuple(self.mesh.axis_names))
+        sh = NamedSharding(self.mesh, spec)
+        rep = NamedSharding(self.mesh, P())
+
+        def stack(arr):
+            stacked = jnp.concatenate(
+                [arr[:, y0:y0 + tile_in, x0:x0 + tile_in]
+                 for (y0, x0) in coords_full], axis=0)
+            return jax.device_put(stacked, sh)
+
+        def bcast(arr):
+            return jax.device_put(
+                jnp.broadcast_to(arr, (b,) + arr.shape[1:]), sh)
+
+        imgs, dexps = self._tile_fn(
+            jax.device_put(self.params, rep), stack(vid), stack(dep),
+            stack(hit), stack(raydirs), bcast(cam_ori), bcast(z),
+            bcast(self.global_enc), bcast(sky_avg), key)
+        imgs = np.asarray(imgs)
+        dexps = np.asarray(dexps)
+        for i, (y0, x0) in enumerate(coords):
+            out[y0:y0 + self.tile, x0:x0 + self.tile] = imgs[i]
+            out_d[y0:y0 + self.tile, x0:x0 + self.tile] = dexps[i]
+        if return_aux:
+            p0 = self.pad // 2
+            return out, {
+                'depth': out_d,
+                'first_voxel_id': np.asarray(
+                    vid[0, p0:p0 + self.res[0], p0:p0 + self.res[1], 0]),
+            }
+        return out
+
 
 def render_trajectory(model, params, world, style, output_dir,
                       camera_mode=0, cam_maxstep=10, cam_ang=72,
                       num_samples=40, num_blocks_early_stop=6,
                       sample_depth=3.0, pad=30, tile_size=128,
                       resolution_hw=(540, 960), fps=10, seed=1,
-                      write_frames=True, save_depth=False):
+                      write_frames=True, save_depth=False, mesh=None):
     """Full inference: camera trajectory -> rgb_render/*.png + .mp4
     (`scenedreamer.py:479-632`). Returns the list of rendered frames."""
     output_dir = os.path.join(output_dir, 'rgb_render')
@@ -242,7 +294,7 @@ def render_trajectory(model, params, world, style, output_dir,
                              num_blocks_early_stop=num_blocks_early_stop,
                              sample_depth=sample_depth, pad=pad,
                              tile_size=tile_size,
-                             resolution_hw=resolution_hw)
+                             resolution_hw=resolution_hw, mesh=mesh)
 
     # side outputs (`scenedreamer.py:563-565`)
     sem = np.argmax(world.semantic_field[0], axis=0)

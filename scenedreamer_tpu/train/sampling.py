@@ -48,6 +48,11 @@ class CameraSamplerConfig:
     camera_rej_avg_depth: float = 2.0
     camera_min_entropy: float = 0.75
     max_rejections: int = 100
+    # proposals intersected per device dispatch: over a remote device
+    # link each dispatch costs a full RTT, so rejected proposals are
+    # K-for-the-price-of-one (accept semantics unchanged: the first
+    # passing proposal in proposal order wins)
+    proposals_per_dispatch: int = 4
     num_reduced_labels: int = 12
     use_label_smooth: bool = True
     use_label_smooth_real: bool = True
@@ -64,11 +69,12 @@ class CameraBatchSampler:
         c = cfg
         self.crop_res = (c.crop_size[0] + c.pad, c.crop_size[1] + c.pad)
 
-        def _intersect(voxel, ori, rd):
+        def _one(voxel, ori, cdir, up, cam_f, cam_c):
+            rd = camera_rays(cdir, up, cam_f, cam_c, self.crop_res)
             vid, dep, hit = ray_voxel_intersection(
-                voxel, ori, rd, c.num_blocks_early_stop)
+                voxel, ori, rd.reshape(-1, 3), c.num_blocks_early_stop)
             # accept metrics computed on device: the host only fetches
-            # two scalars per proposal instead of the full interval
+            # 2K scalars per dispatch instead of the full interval
             # tensors (matters over remote-device links)
             d0 = dep[..., 0, 0]
             valid = hit[..., 0]
@@ -81,8 +87,15 @@ class CameraBatchSampler:
             cnt = jnp.bincount(first.reshape(-1), length=680) \
                 / first.size
             entropy = -jnp.sum(cnt * jnp.log(cnt + 1e-10))
-            return vid, dep, hit, avg_depth, entropy
-        self._intersect = jax.jit(_intersect)
+            return vid, dep, hit, rd, avg_depth, entropy
+
+        def _intersect_k(voxel, oris, cdirs, ups, cam_fs, cam_cs):
+            """K proposals in ONE dispatch (vmapped DDA + metrics)."""
+            vid, dep, hit, rd, ad, en = jax.vmap(
+                _one, in_axes=(None, 0, 0, 0, 0, 0))(
+                    voxel, oris, cdirs, ups, cam_fs, cam_cs)
+            return vid, dep, hit, rd, jnp.stack([ad, en])
+        self._intersect_k = jax.jit(_intersect_k)
 
     def _propose(self, world, rng):
         """One camera proposal (`scenedreamer.py:95-120`)."""
@@ -108,38 +121,46 @@ class CameraBatchSampler:
         """
         c = self.cfg
         h, w = self.crop_res
+        k = max(1, c.proposals_per_dispatch)
         voxel = jnp.asarray(world.voxel) if voxel_dev is None else voxel_dev
-        out = {k: [] for k in ('voxel_id', 'depth', 'hit_mask', 'raydirs',
-                               'cam_ori')}
+        out = {kk: [] for kk in ('voxel_id', 'depth', 'hit_mask',
+                                 'raydirs', 'cam_ori')}
         for _ in range(batch_size):
             accepted = None
-            for _try in range(c.max_rejections):
-                ori, cdir, up, cam_f, cam_c = self._propose(world, rng)
-                rd = camera_rays(jnp.asarray(cdir, jnp.float32),
-                                 jnp.asarray(up, jnp.float32), cam_f,
-                                 cam_c, (h, w))
-                vid, dep, hit, avg_depth, entropy = self._intersect(
-                    voxel, jnp.asarray(ori, jnp.float32),
-                    rd.reshape(-1, 3))
+            rounds = max(1, -(-c.max_rejections // k))
+            for _round in range(rounds):
+                props = [self._propose(world, rng) for _ in range(k)]
+                oris = np.stack([np.asarray(p[0], np.float32)
+                                 for p in props])
+                cdirs = np.stack([np.asarray(p[1], np.float32)
+                                  for p in props])
+                ups = np.stack([np.asarray(p[2], np.float32)
+                                for p in props])
+                fs = np.asarray([p[3] for p in props], np.float32)
+                cs = np.asarray([p[4] for p in props], np.float32)
+                vid, dep, hit, rd, metrics = self._intersect_k(
+                    voxel, oris, cdirs, ups, fs, cs)
                 # reject: too close (`scenedreamer.py:129-133`) or low
-                # entropy (`:136-143`); two device->host scalars
-                if c.camera_rej_avg_depth > 0 \
-                        and float(avg_depth) < c.camera_rej_avg_depth:
-                    continue
-                if c.camera_min_entropy > 0 \
-                        and float(entropy) < c.camera_min_entropy:
-                    continue
-                accepted = (vid, dep, hit, rd, ori)
-                break
+                # entropy (`:136-143`); ONE [2, K] device->host fetch
+                ad, en = np.asarray(metrics)
+                ok = np.ones(k, bool)
+                if c.camera_rej_avg_depth > 0:
+                    ok &= ad >= c.camera_rej_avg_depth
+                if c.camera_min_entropy > 0:
+                    ok &= en >= c.camera_min_entropy
+                if ok.any():
+                    i = int(np.argmax(ok))
+                    accepted = (vid[i], dep[i], hit[i], rd[i], oris[i])
+                    break
             if accepted is None:     # fall back to the last proposal
-                accepted = (vid, dep, hit, rd, ori)
-            vid, dep, hit, rd, ori = accepted
-            out['voxel_id'].append(vid.reshape(h, w, -1))
-            out['depth'].append(dep.reshape(h, w, -1, 2))
-            out['hit_mask'].append(hit.reshape(h, w, -1))
-            out['raydirs'].append(rd)
-            out['cam_ori'].append(jnp.asarray(ori, jnp.float32))
-        return {k: jnp.stack(v) for k, v in out.items()}
+                accepted = (vid[-1], dep[-1], hit[-1], rd[-1], oris[-1])
+            vid_i, dep_i, hit_i, rd_i, ori_i = accepted
+            out['voxel_id'].append(vid_i.reshape(h, w, -1))
+            out['depth'].append(dep_i.reshape(h, w, -1, 2))
+            out['hit_mask'].append(hit_i.reshape(h, w, -1))
+            out['raydirs'].append(rd_i)
+            out['cam_ori'].append(jnp.asarray(ori_i, jnp.float32))
+        return {kk: jnp.stack(v) for kk, v in out.items()}
 
 
 class PseudoGTGenerator:

@@ -2,16 +2,20 @@
 
 Capability parity with the reference observability layer
 (`imaginaire/utils/meters.py:76-149` Meter with cross-rank mean
-reduction + tensorboard flush, `imaginaire/utils/logging.py:13-51`
-date-uid logdir). TPU-native: cross-host reduction uses a jitted psum
-over the data mesh when multiple processes exist (the reference used
-torch.distributed allreduce); sinks are tensorboard when available
-(torch ships it) plus an always-on `metrics.jsonl`.
+reduction + tensorboard flush + wandb mirroring,
+`imaginaire/utils/logging.py:13-51` date-uid logdir). TPU-native:
+cross-process reduction uses `multihost_utils.process_allgather` on the
+buffered means at flush time (the reference used torch.distributed
+allreduce per flush, `utils/meters.py:76-149`); sinks are tensorboard
+when available (torch ships it), optional wandb (absent in this image —
+gated on import), plus an always-on `metrics.jsonl`.
 """
 import datetime
 import json
 import os
 import time
+
+import numpy as np
 
 
 def make_logging_dir(logdir_root, config_name):
@@ -20,6 +24,25 @@ def make_logging_dir(logdir_root, config_name):
     logdir = os.path.join(logdir_root, f'{date_uid}_{config_name}')
     os.makedirs(logdir, exist_ok=True)
     return logdir
+
+
+def _cross_process_mean(names, means):
+    """Mean the per-process meter means across all jax processes.
+
+    One allgather of a dense [n_meters] vector per flush (NaN marks a
+    meter with no local values; nanmean reduces). Single-process is the
+    identity — and so is the multi-device single-process test mesh."""
+    import jax
+    if jax.process_count() == 1:
+        return means
+    from jax.experimental import multihost_utils
+    vec = np.asarray([means.get(n, np.nan) for n in names], np.float64)
+    all_vecs = np.asarray(
+        multihost_utils.process_allgather(vec))      # [P, n_meters]
+    with np.errstate(invalid='ignore'):
+        red = np.nanmean(all_vecs, axis=0)
+    return {n: red[i] for i, n in enumerate(names)
+            if red[i] == red[i]}
 
 
 class Meter:
@@ -35,18 +58,24 @@ class Meter:
         if value is not None:
             self.values.append(float(value))
 
-    def flush(self, step):
+    def local_mean(self):
         vals = [v for v in self.values
                 if v == v and abs(v) != float('inf')]
-        if vals:
-            self.writer.scalar(self.name, sum(vals) / len(vals), step)
+        return sum(vals) / len(vals) if vals else None
+
+    def flush(self, step):
+        m = self.local_mean()
+        if m is not None:
+            self.writer.scalar(self.name, m, step)
         self.values.clear()
 
 
 class MetricsWriter:
-    """jsonl + optional tensorboard sink."""
+    """jsonl + optional tensorboard / wandb sinks with cross-process
+    meter reduction on flush."""
 
-    def __init__(self, logdir, use_tensorboard=True):
+    def __init__(self, logdir, use_tensorboard=True, use_wandb=False,
+                 wandb_kwargs=None):
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(os.path.join(logdir, 'metrics.jsonl'), 'a')
@@ -57,6 +86,23 @@ class MetricsWriter:
                 self._tb = SummaryWriter(logdir)
             except Exception:
                 self._tb = None
+        # wandb mirroring (`train.py:98-120`, `trainers/base.py:551`);
+        # optional — the package is not in this image
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                run_id_path = os.path.join(logdir, 'wandb_id.txt')
+                kwargs = dict(wandb_kwargs or {})
+                if os.path.exists(run_id_path):
+                    with open(run_id_path) as f:
+                        kwargs.setdefault('id', f.read().strip())
+                    kwargs.setdefault('resume', 'allow')
+                self._wandb = wandb.init(dir=logdir, **kwargs)
+                with open(run_id_path, 'w') as f:
+                    f.write(self._wandb.id + '\n')
+            except Exception:
+                self._wandb = None
         self._meters = {}
 
     def meter(self, name):
@@ -70,17 +116,34 @@ class MetricsWriter:
         self._jsonl.flush()
         if self._tb is not None:
             self._tb.add_scalar(name, value, step)
+        if self._wandb is not None:
+            self._wandb.log({name: value}, step=int(step))
 
     def image(self, name, img_uint8_hwc, step):
         if self._tb is not None:
             self._tb.add_image(name, img_uint8_hwc, step,
                                dataformats='HWC')
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({name: wandb.Image(img_uint8_hwc)},
+                            step=int(step))
 
     def flush_meters(self, step):
-        for m in self._meters.values():
-            m.flush(step)
+        """Cross-process mean (reference `utils/meters.py:76-149`
+        all-reduce) then emit through the sinks."""
+        names = sorted(self._meters)
+        means = {}
+        for n in names:
+            m = self._meters[n].local_mean()
+            if m is not None:
+                means[n] = m
+            self._meters[n].values.clear()
+        for n, v in _cross_process_mean(names, means).items():
+            self.scalar(n, v, step)
 
     def close(self):
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

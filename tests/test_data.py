@@ -99,3 +99,38 @@ def test_lmdb_roundtrip(folder_root, tmp_path):
                                 random_crop_h_w=(64, 64)))
     assert len(ds) == 6
     assert ds[0]['images'].shape == (64, 64, 3)
+
+
+def test_augmentor_general_ops():
+    """The general op pipeline (`utils/data.py:93-175` equivalents):
+    ordered dict of ops, joint geometry, image-only photometric."""
+    import numpy as np
+    from scenedreamer_tpu.data.paired_dataset import Augmentor
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (80, 120, 3)).astype(np.uint8)
+    seg = rng.integers(0, 10, (80, 120)).astype(np.uint8)
+
+    aug = Augmentor({'resize_h_w': (64, 64), 'rotate': 15,
+                     'random_rotate_90': True,
+                     'center_crop_h_w': (32, 32),
+                     'contrast': {'brightness_limit': 0.2,
+                                  'contrast_limit': 0.2, 'p': 1.0},
+                     'blur': {'blur_limit': 5, 'p': 1.0},
+                     'gamma': {'gamma_limit_lb': 80,
+                               'gamma_limit_ub': 120, 'p': 1.0}})
+    oi, osg = aug(img, seg, np.random.default_rng(1))
+    assert oi.shape == (32, 32, 3) and osg.shape == (32, 32)
+    # seg stays label-valued (nearest everywhere, no photometric)
+    assert set(np.unique(osg)) <= set(range(10))
+
+    # upward-only scale (factor in [1, 1+limit], utils/data.py:127)
+    aug2 = Augmentor({'resize_smallest_side': 40,
+                      'random_scale_limit': 0.2,
+                      'random_crop_h_w': (40, 40)})
+    for seed in range(5):
+        oi2, _ = aug2(img, seg, np.random.default_rng(seed))
+        assert oi2.shape == (40, 40, 3)
+
+    import pytest
+    with pytest.raises(ValueError):
+        Augmentor({'unknown_op': 1})(img, seg, rng)

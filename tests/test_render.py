@@ -90,3 +90,23 @@ def test_to_uint8_range():
     x = np.array([[-1.0, 0.0, 1.0]])
     y = to_uint8(x)
     assert y.min() == 0 and y.max() == 255
+
+
+def test_mesh_tiled_matches_serial(model_world):
+    """Mesh mode (all tiles in one sharded dispatch over the 8-device
+    mesh) must reproduce the serial tile loop (VERDICT round-1 item 7)."""
+    from scenedreamer_tpu.parallel import mesh as pm
+    model, params, world = model_world
+    style = jax.random.normal(jax.random.PRNGKey(6), (1, TINY.style_dims))
+    kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
+                  resolution_hw=(32, 48), fov=40.0, tile_size=16)
+    r_serial = TiledRenderer(model, params, world, **kwargs)
+    r_mesh = TiledRenderer(model, params, world, mesh=pm.make_mesh(),
+                           **kwargs)
+    z = r_serial.style_z(style)
+    from scenedreamer_tpu.scene.camera import EvalCameraController
+    pose = EvalCameraController(world, maxstep=4, pattern=0)[0]
+    img_s = r_serial.frame(pose, z)
+    img_m = r_mesh.frame(pose, z)
+    assert img_m.shape == img_s.shape
+    np.testing.assert_allclose(img_m, img_s, atol=2e-4)
