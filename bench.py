@@ -118,11 +118,74 @@ def build():
         return jnp.mean((out['fake_images'] - target) ** 2)
 
     step = jax.jit(jax.grad(loss_fn))
+    build.pieces = (step, params, tile_batch, tiles)
+    build.model, build.world, build.cfg = model, world, cfg
     return step, params, tile_batch, tiles
+
+
+def build_full_gan_step():
+    """BENCH_FULL=1: the true BASELINE 'GAN training step' — D update +
+    G update with the full loss assembly (N+1 GAN vs real and
+    pseudo-real, KL, perceptual, L2) and both optimizers, per tile.
+    The headline metric stays the renderer fwd+bwd for continuity with
+    BENCH_BASELINE; this mode quantifies the gap."""
+    import jax.random as jr
+    from scenedreamer_tpu.models.discriminator import GANcraftDiscriminator
+    from scenedreamer_tpu.train import losses as L
+    from scenedreamer_tpu.train.trainer import GANTrainer, TrainerConfig
+
+    step, params, tile_batch, tiles = build.pieces  # set by build()
+    model, world, cfg = build.model, build.world, build.cfg
+    rng = np.random.default_rng(1)
+    crop = TILE
+
+    def gan_batch(y0, x0):
+        b = tile_batch(y0, x0)
+        b = dict(b)
+        b['pseudo_real_img'] = jnp.asarray(
+            rng.normal(size=(1, crop, crop, 3)).astype(np.float32))
+        b['images'] = jnp.asarray(
+            rng.normal(size=(1, crop, crop, 3)).astype(np.float32))
+        masks = jax.nn.one_hot(
+            rng.integers(1, 12, (1, crop, crop)), 12, dtype=jnp.float32)
+        b['fake_masks'] = masks
+        b['real_masks'] = masks
+        return b
+
+    dis = GANcraftDiscriminator(num_labels=12)
+    trainer = GANTrainer(model, dis, world.dims, cfg=TrainerConfig(),
+                         perceptual=L.PerceptualLoss())
+    state = trainer.init_state(jr.PRNGKey(0), gan_batch(*tiles[0]))
+    return trainer, state, gan_batch, tiles
 
 
 def main():
     step, params, tile_batch, tiles = build()
+
+    if bool(int(_env('BENCH_FULL', '0'))):
+        trainer, state, gan_batch, tiles = build_full_gan_step()
+        batches = [gan_batch(y, x) for (y, x) in tiles]
+        _log('BENCH_FULL: compiling D+G train step...')
+        for i in range(WARMUP_STEPS):
+            state, m = trainer.train_step(state, batches[0],
+                                          jax.random.PRNGKey(i))
+            jax.block_until_ready(m)
+            _log(f'warmup {i} done')
+        t0 = time.perf_counter()
+        for _ in range(TIMED_REPS):
+            for b in batches:
+                state, m = trainer.train_step(state, b,
+                                              jax.random.PRNGKey(9))
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+        rays = FRAME_H * FRAME_W * TIMED_REPS
+        print(json.dumps({
+            'metric': 'rays_per_s_full_gan_step_540x960x24',
+            'value': round(rays / dt, 1),
+            'unit': 'rays/s/chip',
+            'vs_baseline': 1.0,
+        }))
+        return
     batches = [tile_batch(y, x) for (y, x) in tiles]
 
     _log(f'{len(batches)} tiles; compiling grad step...')

@@ -166,9 +166,19 @@ class SceneDreamerGenerator(nn.Module):
         b = normalized.shape[0]
         if foldable(spec, global_enc.shape[-1]):
             flat = normalized.reshape(b, -1, 3)
-            feat = jax.vmap(
-                lambda x3, sc: hashgrid_encode_folded(
-                    spec, self.hash_table, x3, sc))(flat, global_enc)
+            # NOT vmap: batching the scan-of-custom-vjp level loop was
+            # measured 5x slower to compile AND +1.5 s/tile at runtime
+            # even at b=1 (PERF.md r2). b==1 calls directly; b>1 runs a
+            # lax.map (one compiled body, sequential over batch — the
+            # per-device batch is 1 in the shipped configs).
+            if b == 1:
+                feat = hashgrid_encode_folded(
+                    spec, self.hash_table, flat[0], global_enc[0])[None]
+            else:
+                feat = jax.lax.map(
+                    lambda xs: hashgrid_encode_folded(
+                        spec, self.hash_table, xs[0], xs[1]),
+                    (flat, global_enc))
         else:
             genc = jnp.broadcast_to(
                 global_enc[:, None, None, None, :],

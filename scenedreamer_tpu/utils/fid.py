@@ -1,0 +1,59 @@
+"""Frechet distance metrics (FID plumbing).
+
+The reference wires FID hooks but its trainer returns None
+(`imaginaire/trainers/base.py:553-563`, `:668-670` `_compute_fid`), so
+this exceeds parity: a working Frechet-distance computation over any
+feature extractor. The canonical InceptionV3 weights are not shipped in
+this image, so the extractor is pluggable — `models/vgg.py` VGG19 (with
+converted torchvision weights when available) or any
+`[N, H, W, 3] -> [N, D]` function.
+
+TPU-native: feature extraction is jitted/batched by the caller; the
+Frechet statistics (mean/cov + sqrtm via eigendecomposition of the
+symmetrized product) run in numpy float64 on host — they are O(D^3)
+once per evaluation, not a device hot path.
+"""
+import numpy as np
+
+
+def activation_statistics(feats):
+    """feats [N, D] -> (mu [D], sigma [D, D]) in float64."""
+    f = np.asarray(feats, np.float64)
+    mu = f.mean(axis=0)
+    sigma = np.cov(f, rowvar=False)
+    if sigma.ndim == 0:          # D == 1
+        sigma = sigma.reshape(1, 1)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
+    """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)).
+
+    sqrtm via eigendecomposition with an eps jitter on the diagonal —
+    no scipy dependency, robust to rank-deficient covariances.
+    """
+    mu1 = np.atleast_1d(np.asarray(mu1, np.float64))
+    mu2 = np.atleast_1d(np.asarray(mu2, np.float64))
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
+    d = sigma1.shape[0]
+    off = np.eye(d) * eps
+    s1 = sigma1 + off
+    s2 = sigma2 + off
+    # sqrt(s1) via symmetric eigendecomposition
+    w, v = np.linalg.eigh(s1)
+    sqrt_s1 = (v * np.sqrt(np.clip(w, 0, None))) @ v.T
+    # sqrt(s1 s2 s1) is symmetric PSD; Tr(sqrt(s1 s2)) equals its trace
+    m = sqrt_s1 @ s2 @ sqrt_s1
+    wm = np.linalg.eigvalsh((m + m.T) / 2)
+    tr_covmean = np.sum(np.sqrt(np.clip(wm, 0, None)))
+    diff = mu1 - mu2
+    return float(diff @ diff + np.trace(s1) + np.trace(s2)
+                 - 2.0 * tr_covmean)
+
+
+def compute_fid(real_feats, fake_feats):
+    """FID between two feature sets [N, D]."""
+    mu1, s1 = activation_statistics(real_feats)
+    mu2, s2 = activation_statistics(fake_feats)
+    return frechet_distance(mu1, s1, mu2, s2)

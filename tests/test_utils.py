@@ -83,3 +83,26 @@ def test_config_yaml_and_defaults(tmp_path):
     d = AttrDict({'a': {'b': 1}})
     recursive_update(d, {'a': {'c': 2}})
     assert d.a.b == 1 and d.a.c == 2
+
+
+def test_fid_identical_distributions_zero():
+    import numpy as np
+    from scenedreamer_tpu.utils.fid import compute_fid, frechet_distance
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(500, 16))
+    assert abs(compute_fid(f, f.copy())) < 1e-6
+    # analytic case: isotropic gaussians distance = ||dmu||^2 + (a-b)^2*d
+    d = frechet_distance(np.zeros(4), np.eye(4) * 4.0,
+                         np.ones(4) * 2.0, np.eye(4) * 1.0)
+    assert abs(d - (16.0 + 4 * 1.0)) < 1e-4
+
+
+def test_fid_separates_distributions():
+    import numpy as np
+    from scenedreamer_tpu.utils.fid import compute_fid
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(400, 8))
+    b = rng.normal(size=(400, 8)) + 3.0
+    near = compute_fid(a, rng.normal(size=(400, 8)))
+    far = compute_fid(a, b)
+    assert far > near + 50
