@@ -19,8 +19,8 @@ Capability parity with the reference layer library (SURVEY.md §2.8):
     which is exactly what the CUDA "fused" kernel hand-writes
   * flow-model ops channelnorm / correlation / resample2d
     (`third_party/{channelnorm,correlation,resample2d}`) — unused by
-    any SceneDreamer model (no imports outside their own dirs;
-    SURVEY.md §2.6) and intentionally omitted.
+    any SceneDreamer model but provided TPU-natively in `ops/flow.py`
+    for the full imaginaire layer surface.
 
 TPU-native: everything is jnp/flax NHWC; the FIR resampling is a
 depthwise conv XLA maps onto fused convolution hardware paths.

@@ -43,6 +43,13 @@ DENSE_BWD_MAX_SIDE = int(os.environ.get('SCENEDREAMER_HASH_DENSE_SIDE', '64'))
 # Points per chunk in the splat matmul (bounds the [chunk, side^2]
 # one-hot operand; 0 = single shot).
 SPLAT_CHUNK = int(os.environ.get('SCENEDREAMER_SPLAT_CHUNK', '131072'))
+# Payload dtype carried through the fine-level sort in the table
+# gradient. bfloat16 halves the sorted bytes; the cumsum still
+# accumulates in f32, and the reference's CUDA backward accumulates in
+# fp16 outright (gridencoder.cu:268-282). 'float32' to disable.
+SORT_PAYLOAD_DTYPE = jnp.bfloat16 if os.environ.get(
+    'SCENEDREAMER_SORT_PAYLOAD', 'bfloat16') == 'bfloat16' \
+    else jnp.float32
 
 # While 1 is not a good hash prime, it preserves memory coherence in dim 0
 # (same rationale and constants as Instant-NGP / the reference, cu:42).
@@ -163,7 +170,8 @@ def _gather_interp_bwd(rows, res, g):
     vals, idx, w = res
     dw = jnp.einsum('nc,nkc->nk', g, vals).astype(w.dtype)
     upd = (w[..., None] * g[:, None, :]).reshape(-1, vals.shape[-1])
-    dtl = segment_sum_sorted(upd, idx.reshape(-1), rows)
+    dtl = segment_sum_sorted(upd.astype(SORT_PAYLOAD_DTYPE),
+                             idx.reshape(-1), rows).astype(g.dtype)
     return dtl, None, dw
 
 
