@@ -41,6 +41,9 @@ WARMUP_STEPS = 2
 TIMED_REPS = int(_env('BENCH_REPS', 1))
 SCENE = int(_env('BENCH_SCENE', 256))
 TINY = bool(int(_env('BENCH_TINY', '0')))  # smoke-test model size
+# time only the first N tiles and extrapolate (stress configs: a
+# 2160x3840 frame is 510 tiles; a subset proves memory + rate)
+MAX_TILES = int(_env('BENCH_MAX_TILES', '0'))
 
 
 def build():
@@ -161,9 +164,15 @@ def build_full_gan_step():
 
 def main():
     step, params, tile_batch, tiles = build()
+    if MAX_TILES and MAX_TILES < len(tiles):
+        tiles = tiles[:MAX_TILES]
+        _log(f'subset mode: {MAX_TILES} tiles')
 
     if bool(int(_env('BENCH_FULL', '0'))):
         trainer, state, gan_batch, tiles = build_full_gan_step()
+        if MAX_TILES and MAX_TILES < len(tiles):
+            tiles = tiles[:MAX_TILES]
+            _log(f'subset mode: {MAX_TILES} tiles')
         batches = [gan_batch(y, x) for (y, x) in tiles]
         _log('BENCH_FULL: compiling D+G train step...')
         for i in range(WARMUP_STEPS):
@@ -178,7 +187,10 @@ def main():
                                               jax.random.PRNGKey(9))
         jax.block_until_ready(m)
         dt = time.perf_counter() - t0
-        rays = FRAME_H * FRAME_W * TIMED_REPS
+        if MAX_TILES:
+            rays = TILE * TILE * len(batches) * TIMED_REPS
+        else:
+            rays = FRAME_H * FRAME_W * TIMED_REPS
         print(json.dumps({
             'metric': 'rays_per_s_full_gan_step_540x960x24',
             'value': round(rays / dt, 1),
@@ -209,7 +221,10 @@ def main():
     dt = time.perf_counter() - t0
     _log(f'timed {TIMED_REPS} reps in {dt:.1f}s')
 
-    rays = FRAME_H * FRAME_W * TIMED_REPS
+    if MAX_TILES:
+        rays = TILE * TILE * len(batches) * TIMED_REPS
+    else:
+        rays = FRAME_H * FRAME_W * TIMED_REPS
     rays_per_s = rays / dt
 
     baseline = None

@@ -129,3 +129,28 @@ def test_pseudo_gt_stochastic_relabel(world):
         sub = np.argmax(np.asarray(captured['masks']), -1)
         assert not (sub == sky_id).any()
         assert (sub == trans.gglbl2ggid('fog')).any()
+
+
+def test_batched_proposals_match_k1_selection(world):
+    """K proposals per dispatch must select the same camera as K=1 when
+    the first proposal passes (accept semantics: first passing proposal
+    in proposal order; `scenedreamer.py:95-143`)."""
+    import numpy as np
+    from scenedreamer_tpu.train.sampling import (CameraBatchSampler,
+                                                 CameraSamplerConfig)
+    base = dict(cam_res=(40, 56), crop_size=(24, 24), pad=2,
+                num_blocks_early_stop=4,
+                # thresholds off -> first proposal always accepted
+                camera_rej_avg_depth=0.0, camera_min_entropy=0.0)
+    s1 = CameraBatchSampler(CameraSamplerConfig(
+        **base, proposals_per_dispatch=1))
+    s4 = CameraBatchSampler(CameraSamplerConfig(
+        **base, proposals_per_dispatch=4))
+    b1 = s1.sample(world, 1, np.random.default_rng(123))
+    b4 = s4.sample(world, 1, np.random.default_rng(123))
+    np.testing.assert_allclose(np.asarray(b1['cam_ori']),
+                               np.asarray(b4['cam_ori']), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1['raydirs']),
+                               np.asarray(b4['raydirs']), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b1['voxel_id']),
+                                  np.asarray(b4['voxel_id']))
