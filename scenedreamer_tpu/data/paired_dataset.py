@@ -81,8 +81,9 @@ class Augmentor:
     pipeline (`utils/data.py:93-175` `_build_augmentation_ops`),
     implemented with cv2/numpy (albumentations is not in this image):
     resize_smallest_side, resize_h_w, rotate, random_rotate_90,
-    random_scale_limit (factor in [1, 1+limit], `utils/data.py:127` and
-    the yaml comment `scenedreamer_train.yaml:202`), random_crop_h_w,
+    random_scale_limit (scalar: factor in [1, 1+limit],
+    `utils/data.py:127`; dict {scale_limit_lb, scale_limit_ub, p}:
+    the ± video-frame variant, `utils/data.py:76-84`), random_crop_h_w,
     center_crop_h_w, horizontal_flip, plus the photometric extras
     (contrast, blur, gamma) on the image only. Ops apply in dict order
     like the yaml. Geometry ops apply jointly to image (linear) and seg
@@ -134,10 +135,20 @@ class Augmentor:
                     image = np.rot90(image, k)
                     seg = np.rot90(seg, k)
             elif key == 'random_scale_limit' and value:
-                s = 1.0 + rng.random() * value
-                image, seg = self._resize(image, seg,
-                                          int(round(h * s)),
-                                          int(round(w * s)))
+                # scalar form: factor in [1, 1+limit] (`utils/data.py:128`);
+                # dict form (the per-video-frame variant,
+                # `utils/data.py:76-84`): [1-lb, 1+ub] with prob p
+                if isinstance(value, dict):
+                    lb = value['scale_limit_lb']
+                    ub = value['scale_limit_ub']
+                    p = value.get('p', 1.0)
+                else:
+                    lb, ub, p = 0.0, value, 1.0
+                if rng.random() < p:
+                    s = 1.0 + rng.uniform(-lb, ub)
+                    image, seg = self._resize(image, seg,
+                                              int(round(h * s)),
+                                              int(round(w * s)))
             elif key == 'random_crop_h_w':
                 ch, cw = value
                 y0 = rng.integers(0, h - ch + 1)

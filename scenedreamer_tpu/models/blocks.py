@@ -524,6 +524,95 @@ class HyperConv2dBlock(nn.Module):
         return x
 
 
+class ViT2dBlock(nn.Module):
+    """StyleGAN-flavoured order-string block with blur + noise slots,
+    fractional stride, learnable output scale and post-conv max-clamp
+    (`layers/vit.py:14-170` ViT2dBlock — unused by every shipped
+    reference config; implemented for layer-library parity).
+
+    order: permutation of C (conv), N (norm), A (activation). Like the
+    reference, 'B' (blur) and 'G' (noise) slots are spliced around C:
+    stride 2 -> blur-then-conv (FIR antialias before downsample),
+    stride 0.5 -> transposed-conv-then-blur, apply_noise -> learned
+    noise right after conv. The linear (input_dim == 0) variant of the
+    reference is `LinearBlock`.
+    """
+    features: int
+    kernel_size: int = 3
+    stride: float = 1
+    use_bias: bool = True
+    weight_norm_type: str = 'none'
+    activation_norm_type: str = 'none'
+    nonlinearity: str = 'leakyrelu'
+    apply_noise: bool = False
+    blur: bool = False
+    order: str = 'CNA'
+    clamp: Any = None            # conv output max-clamp (vit.py:143-144)
+    output_scale: Any = None     # init for a learned post-conv scalar
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats=False, noise_key=None):
+        order = self.order.upper()
+        if self.apply_noise:
+            order = order.replace('C', 'CG')
+        if self.blur and self.stride == 2:
+            order = order.replace('C', 'BC')
+        elif self.blur and self.stride == 0.5:
+            order = order.replace('C', 'CB')
+
+        in_f = x.shape[-1]
+        pad = (self.kernel_size - 1) // 2
+        if self.stride == 0.5:
+            conv = nn.ConvTranspose(
+                self.features, (self.kernel_size, self.kernel_size),
+                strides=(2, 2), padding='SAME', use_bias=self.use_bias,
+                kernel_init=xavier_gain(), dtype=self.dtype, name='conv')
+        else:
+            s = int(self.stride)
+            conv = nn.Conv(self.features,
+                           (self.kernel_size, self.kernel_size),
+                           strides=(s, s), padding=((pad, pad), (pad, pad)),
+                           use_bias=self.use_bias, kernel_init=xavier_gain(),
+                           dtype=self.dtype, name='conv')
+
+        def apply_conv(h):
+            if self.weight_norm_type == 'spectral':
+                h = nn.SpectralNorm(
+                    conv, collection_name='spectral_stats')(
+                    h, update_stats=update_stats)
+            else:
+                h = conv(h)
+            if self.clamp is not None:
+                h = jnp.minimum(h, self.clamp)
+            if self.output_scale is not None:
+                scale = self.param(
+                    'output_scale',
+                    lambda k: jnp.asarray(self.output_scale, jnp.float32))
+                h = h * scale
+            return h
+
+        for i, op in enumerate(order):
+            if op == 'C':
+                x = apply_conv(x)
+            elif op == 'B':
+                x = Blur(name='blur')(x)
+            elif op == 'G':
+                x = ApplyNoise(name='noise')(x, key=noise_key)
+            elif op == 'N':
+                pre_conv = 'C' not in order[:i]
+                norm = make_norm(self.activation_norm_type,
+                                 in_f if pre_conv else self.features)
+                if norm is not None:
+                    x = norm(x)
+            elif op == 'A':
+                if self.nonlinearity not in (None, 'none', ''):
+                    x = bias_act(x, act=self.nonlinearity)
+            else:
+                raise ValueError(f'bad order char {op}')
+        return x
+
+
 class ConstantInput(nn.Module):
     """Learned constant input map (`layers/misc.py:51-76`; StyleGAN2
     head). Returns the constant broadcast to the batch size."""
@@ -536,11 +625,3 @@ class ConstantInput(nn.Module):
                            (1, self.size, self.size, self.features))
         return jnp.broadcast_to(
             const, (batch_size,) + const.shape[1:])
-
-
-# `layers/vit.py` ViT2dBlock is the same Conv/Norm/Act order-string
-# machinery as Conv2dBlock with the fused-bias-activation and blur
-# options — all of which `Conv2dBlock` + `bias_act` + `Blur` above
-# already provide; no SceneDreamer config instantiates it, so it is an
-# alias here for API parity.
-ViT2dBlock = Conv2dBlock

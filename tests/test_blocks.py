@@ -116,3 +116,33 @@ def test_apply_noise_equalized_nonlocal():
     # gamma zero-init -> identity at init
     np.testing.assert_allclose(np.asarray(nl.apply(vn, x)),
                                np.asarray(x), atol=1e-6)
+
+
+def test_vit2dblock_variants():
+    """ViT2dBlock (`layers/vit.py:14-170`): stride-2 blur-downsample,
+    stride-0.5 transposed upsample, noise slot, clamp + output scale."""
+    from scenedreamer_tpu.models.blocks import ViT2dBlock
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 8, 8, 4)).astype(np.float32))
+
+    down = ViT2dBlock(6, stride=2, blur=True, apply_noise=True,
+                      activation_norm_type='instance')
+    v = down.init({'params': jax.random.PRNGKey(0),
+                   'noise': jax.random.PRNGKey(1)}, x)
+    y = down.apply(v, x, rngs={'noise': jax.random.PRNGKey(2)})
+    assert y.shape == (2, 4, 4, 6)
+    assert np.isfinite(np.asarray(y)).all()
+
+    up = ViT2dBlock(3, stride=0.5, blur=True)
+    vu = up.init(jax.random.PRNGKey(0), x)
+    yu = up.apply(vu, x)
+    assert yu.shape == (2, 16, 16, 3)
+
+    # max-clamp applies to the conv output, scale is learnable
+    clamped = ViT2dBlock(3, clamp=0.0, output_scale=2.0,
+                         nonlinearity='none')
+    vc = clamped.init(jax.random.PRNGKey(0), x)
+    yc = clamped.apply(vc, x)
+    assert float(np.asarray(yc).max()) <= 0.0
+    assert 'output_scale' in vc['params']['conv'] or \
+        'output_scale' in vc['params']

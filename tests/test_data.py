@@ -134,3 +134,26 @@ def test_augmentor_general_ops():
     import pytest
     with pytest.raises(ValueError):
         Augmentor({'unknown_op': 1})(img, seg, rng)
+
+
+def test_augmentor_scale_dict_form():
+    """Dict random_scale_limit = the per-video-frame +- variant
+    (`utils/data.py:76-84`): factor in [1-lb, 1+ub] with prob p."""
+    import numpy as np
+    from scenedreamer_tpu.data.paired_dataset import Augmentor
+    img = np.zeros((64, 64, 3), np.uint8)
+    seg = np.zeros((64, 64), np.uint8)
+    aug = Augmentor({'random_scale_limit': {
+        'scale_limit_lb': 0.5, 'scale_limit_ub': 0.0, 'p': 1.0}})
+    sizes = set()
+    for s in range(20):
+        out, _ = aug(img, seg, np.random.default_rng(s))
+        sizes.add(out.shape[0])
+    # downscale-only: never above input size, sometimes strictly below
+    assert max(sizes) <= 64 and min(sizes) < 64
+
+    # p=0 -> never applied
+    aug0 = Augmentor({'random_scale_limit': {
+        'scale_limit_lb': 0.5, 'scale_limit_ub': 0.5, 'p': 0.0}})
+    out, _ = aug0(img, seg, np.random.default_rng(0))
+    assert out.shape[0] == 64
