@@ -78,11 +78,14 @@ def build():
     rd = camera_rays(jnp.asarray(d), jnp.asarray(up), f * (FRAME_W - 1),
                      ((cam_h - 1) / 2, (cam_w - 1) / 2),
                      (cam_h, cam_w))
+    # giant frames (stress config: 8.3M rays over a 2048^2 grid) must be
+    # chunk-dispatched — one multi-minute DDA program overruns the worker
+    n_rays = cam_h * cam_w
     vid, dep, hit = ray_voxel_intersection(
         jnp.asarray(world.voxel), jnp.asarray(ori), rd.reshape(-1, 3),
-        MAX_INTERVALS)
-    jax.block_until_ready(vid)
-    _log('full-frame ray intersection done')
+        MAX_INTERVALS, chunk=(1 << 20) if n_rays > (2 << 20) else None)
+    # force a real host sync (block_until_ready lies over the tunnel)
+    _log(f'full-frame ray intersection done (hits {int(jnp.sum(hit))})')
     vid = vid.reshape(cam_h, cam_w, MAX_INTERVALS)
     dep = dep.reshape(cam_h, cam_w, MAX_INTERVALS, 2)
     hit = hit.reshape(cam_h, cam_w, MAX_INTERVALS)
@@ -95,17 +98,21 @@ def build():
         for x in range(0, FRAME_W, TILE):
             tiles.append((min(y, FRAME_H - TILE), min(x, FRAME_W - TILE)))
 
+    # transfer the (large, shared) BEV fields ONCE — at scene 2048 each
+    # is ~200 MB and per-tile re-transfer would multiply HBM residency
+    hf_dev = jnp.asarray(world.height_field.transpose(0, 2, 3, 1))
+    sf_dev = jnp.asarray(world.semantic_field.transpose(0, 2, 3, 1))
+    ori_dev = jnp.asarray(ori)[None]
+
     def tile_batch(y0, x0):
         return {
             'voxel_id': vid[None, y0:y0 + th, x0:x0 + tw],
             'depth': dep[None, y0:y0 + th, x0:x0 + tw],
             'hit_mask': hit[None, y0:y0 + th, x0:x0 + tw],
             'raydirs': rd[None, y0:y0 + th, x0:x0 + tw],
-            'cam_ori': jnp.asarray(ori)[None],
-            'height_field': jnp.asarray(
-                world.height_field.transpose(0, 2, 3, 1)),
-            'semantic_field': jnp.asarray(
-                world.semantic_field.transpose(0, 2, 3, 1)),
+            'cam_ori': ori_dev,
+            'height_field': hf_dev,
+            'semantic_field': sf_dev,
         }
 
     key = jax.random.PRNGKey(0)

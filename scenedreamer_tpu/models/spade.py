@@ -110,6 +110,54 @@ class AdaptiveNorm(nn.Module):
             + beta[:, None, None, :]
 
 
+class DualAdaptiveNorm(nn.Module):
+    """Normalize, then modulate by a LIST of conditions — spatial
+    conditions through 1x1 convs, vector conditions through dense
+    projections (`activation_norm.py:266-331` DualAdaptiveNorm; no
+    shipped reference config instantiates it — library parity).
+
+    cond_inputs: sequence matching `is_spatial`; None entries skipped.
+    Spatial gammas/betas are bilinearly resized to x's HW.
+    """
+    features: int
+    is_spatial: tuple = (False,)
+    bias_only: bool = False
+    norm_type: str = 'instance'
+
+    @nn.compact
+    def __call__(self, x, *cond_inputs):
+        from scenedreamer_tpu.models.blocks import make_norm
+        assert len(cond_inputs) == len(self.is_spatial)
+        norm = make_norm(self.norm_type, self.features)
+        out = norm(x) if norm is not None else x
+        for i, (cond, spatial) in enumerate(
+                zip(cond_inputs, self.is_spatial)):
+            if cond is None:
+                continue
+            if spatial:
+                gamma = nn.Conv(self.features, (1, 1),
+                                kernel_init=xavier_gain(),
+                                name=f'gamma_{i}')(cond)
+                beta = nn.Conv(self.features, (1, 1),
+                               kernel_init=xavier_gain(),
+                               name=f'beta_{i}')(cond)
+                if gamma.shape[1:3] != x.shape[1:3]:
+                    gamma = jax.image.resize(
+                        gamma, gamma.shape[:1] + x.shape[1:3]
+                        + gamma.shape[3:], 'bilinear')
+                    beta = jax.image.resize(
+                        beta, beta.shape[:1] + x.shape[1:3]
+                        + beta.shape[3:], 'bilinear')
+            else:
+                gamma = nn.Dense(self.features, kernel_init=xavier_gain(),
+                                 name=f'gamma_{i}')(cond)[:, None, None, :]
+                beta = nn.Dense(self.features, kernel_init=xavier_gain(),
+                                name=f'beta_{i}')(cond)[:, None, None, :]
+            out = out + beta if self.bias_only \
+                else out * (1.0 + gamma) + beta
+        return out
+
+
 class SpadeRes2dBlock(nn.Module):
     """Res2dBlock order NACNAC with SPADE norms and learned shortcut
     (`generators/spade.py:272-282`, `layers/residual.py`)."""

@@ -72,24 +72,36 @@ def _aabb_enter_t(ori, dirs, dims):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('max_samples', 'max_steps', 'chunk'))
+                   static_argnames=('max_samples', 'max_steps'))
+def _ray_voxel_chunk_jit(voxel, cam_ori, raydirs, max_samples,
+                         max_steps=None):
+    return _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
+                            max_steps)
+
+
 def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
                            max_steps=None, chunk=None):
     """Traverse the grid; record the first `max_samples` solid intervals.
 
     Args:
-        voxel: [Y, X, Z] int32 grid, 0 = empty.
+        voxel: [Y, X, Z] integer grid (any int dtype; int8 for
+            SceneDreamer worlds), 0 = empty.
         cam_ori: [3] float ray origin (shared by all rays).
         raydirs: [R, 3] unit ray directions.
         max_samples: M, number of intervals to record per ray.
         max_steps: traversal step bound; defaults to Y+X+Z (the exact upper
             bound on plane crossings for a ray inside the grid).
-        chunk: rays per independent traversal loop (None = one loop
-            over all rays, the default). Measured on v5e the unchunked
-            lockstep loop wins at full frames (1.2s vs 3.1s chunked at
-            546x966: sequential lax.map chunks lose more parallelism
-            than coherent early exit gains); the option remains for
-            memory-constrained giant frames.
+        chunk: rays per dispatch (None = one dispatch for all rays, the
+            default). Measured on v5e the single dispatch wins at normal
+            frames (1.2s vs 3.1s chunked at 546x966: sequential chunks
+            lose more parallelism than coherent early exit gains).
+            REQUIRED for giant frames over giant grids: a 2160x3840
+            frame (8.3M rays) over a [*, 2048, 2048] grid is one
+            multi-minute XLA program that crashes/overruns the worker,
+            while 1M-ray chunks as SEPARATE dispatches (one compiled
+            executable reused) complete fine. Host-side loop, not
+            lax.map — the point is bounding single-program runtime, not
+            just memory.
 
     Returns:
         voxel_id: [R, M] int32 (0 where no hit).
@@ -101,14 +113,15 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
         pad = (-r) % chunk
         rd = jnp.pad(raydirs, ((0, pad), (0, 0)))
         rd = rd.reshape(-1, chunk, 3)
-        vid, dep, hit = jax.lax.map(
-            lambda rds: _ray_voxel_chunk(voxel, cam_ori, rds,
-                                         max_samples, max_steps), rd)
-        return (vid.reshape(-1, max_samples)[:r],
-                dep.reshape(-1, max_samples, 2)[:r],
-                hit.reshape(-1, max_samples)[:r])
-    return _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
-                            max_steps)
+        outs = [_ray_voxel_chunk_jit(voxel, cam_ori, rd[i],
+                                     max_samples, max_steps)
+                for i in range(rd.shape[0])]
+        vid = jnp.concatenate([o[0] for o in outs], axis=0)
+        dep = jnp.concatenate([o[1] for o in outs], axis=0)
+        hit = jnp.concatenate([o[2] for o in outs], axis=0)
+        return vid[:r], dep[:r], hit[:r]
+    return _ray_voxel_chunk_jit(voxel, cam_ori, raydirs, max_samples,
+                                max_steps)
 
 
 def _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
@@ -175,7 +188,10 @@ def _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
         flat = (new_pos[:, 0] * (dims_i[1] * dims_i[2])
                 + new_pos[:, 1] * dims_i[2] + new_pos[:, 2])
         flat = jnp.clip(flat, 0, voxel_flat.shape[0] - 1)
-        blk = jnp.where(inb, jnp.take(voxel_flat, flat, axis=0), 0)
+        # gather in the grid's own (narrow) dtype — int8 grids move 4x
+        # less HBM traffic than int32 — then widen for the outputs
+        blk = jnp.where(inb, jnp.take(voxel_flat, flat, axis=0),
+                        0).astype(jnp.int32)
 
         hit = active & (~quit_) & inb & (blk != 0)
         slot = hit[:, None] & (slot_iota == cnt[:, None])        # [R, M]

@@ -161,9 +161,13 @@ class TiledRenderer:
         raydirs = camera_rays(jnp.asarray(cdir, jnp.float32),
                               jnp.asarray(up, jnp.float32), cam_f, cam_c,
                               (h, w))
+        n_rays = h * w
         vid, dep, hit = ray_voxel_intersection(
             self.voxel_dev, jnp.asarray(ori, jnp.float32),
-            raydirs.reshape(-1, 3), self.m)
+            raydirs.reshape(-1, 3), self.m,
+            # giant frames over giant grids: chunk-dispatch the DDA so
+            # no single program runs for minutes (see ray_voxel.py)
+            chunk=(1 << 20) if n_rays > (2 << 20) else None)
         vid = vid.reshape(1, h, w, self.m)
         dep = dep.reshape(1, h, w, self.m, 2)
         hit = hit.reshape(1, h, w, self.m)

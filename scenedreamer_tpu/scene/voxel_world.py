@@ -104,7 +104,10 @@ def make_tree_models():
 @dataclasses.dataclass
 class VoxelWorld:
     """One scene's voxel + BEV state (device-agnostic numpy)."""
-    voxel: np.ndarray              # [Yc, S, S] int32, cropped to [gnd, sky)
+    voxel: np.ndarray              # [Yc, S, S] int8, cropped to [gnd, sky)
+    # int8: Minecraft ids in SceneDreamer worlds are <= 63 (BIOME2MC +
+    # tree blocks). Quarters the [*, 2048, 2048] stress-config grid to
+    # 1 GB on device; the DDA casts its gathered ids back to int32.
     heightmap: np.ndarray          # [S, S] int32 camera heightmap (uncropped y)
     height_field: np.ndarray      # [1, 1, S, S] float32, world-encoder input
     semantic_field: np.ndarray    # [1, 11, S, S] float32 one-hot, ditto
@@ -175,7 +178,7 @@ def build_voxel_world(height_map, semantic_map, tree_map,
     ys = np.arange(sample_height, dtype=np.int32)[:, None, None]
     top = np.minimum(hq + fill_depth, sample_height - 1)
     occupied = (ys >= hq[None]) & (ys <= top[None])
-    voxel = np.where(occupied, mc_label[None], 0).astype(np.int32)
+    voxel = np.where(occupied, mc_label[None], 0).astype(np.int8)
 
     surface = hq + fill_depth                                 # [S, S]
 
@@ -251,7 +254,7 @@ def load_world_cache(world_dir, sample_height=SAMPLE_HEIGHT):
     semantic_field = np.load(os.path.join(world_dir, 'semantic_map.npy'))
     heightmap = np.load(os.path.join(world_dir, 'hmap_mc.npy'))
     size = height_field.shape[-1]
-    voxel = np.zeros((sample_height, size, size), np.int32)
+    voxel = np.zeros((sample_height, size, size), np.int8)
     idx = sparse.astype(np.int64)
     voxel[idx[0], idx[1], idx[2]] = sparse[3]
     gnd = int(heightmap.min())

@@ -111,3 +111,22 @@ def test_perspective_wrapper_shapes():
     assert raydirs.shape == (8, 8, 1, 3)
     assert hit.shape == (8, 8, 4)
     assert bool(np.asarray(hit).any())
+
+
+def test_chunked_dispatch_matches_single():
+    """Host-chunked DDA (separate dispatches per chunk, the giant-frame
+    path) must be bit-equal to the single-dispatch result."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scenedreamer_tpu.ops.ray_voxel import (camera_rays,
+                                                ray_voxel_intersection)
+    rng = np.random.default_rng(3)
+    vox = (rng.random((24, 32, 32)) < 0.06).astype(np.int8) * 9
+    rd = camera_rays(jnp.asarray([0.4, 0.5, 0.6]),
+                     jnp.asarray([0.0, 1.0, 0.0]), 20.0,
+                     (7.5, 9.5), (16, 20)).reshape(-1, 3)
+    ori = jnp.asarray([4.0, 3.0, 2.0])
+    ref = ray_voxel_intersection(jnp.asarray(vox), ori, rd, 4)
+    chk = ray_voxel_intersection(jnp.asarray(vox), ori, rd, 4, chunk=37)
+    for a, b in zip(ref, chk):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -71,3 +71,27 @@ def test_spade_style_encoder_resizes():
     mu, logvar, z = enc.apply(params, x,
                               rngs={'style': jax.random.PRNGKey(2)})
     assert mu.shape == (1, 16) and z.shape == (1, 16)
+
+
+def test_dual_adaptive_norm():
+    """DualAdaptiveNorm (`activation_norm.py:266-331`): mixed spatial +
+    vector conditions, None skipping, bias_only mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenedreamer_tpu.models.spade import DualAdaptiveNorm
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 8, 8, 6)).astype(np.float32))
+    seg = jnp.ones((2, 4, 4, 3))   # spatial cond at a different HW
+    z = jnp.ones((2, 5))
+    m = DualAdaptiveNorm(6, is_spatial=(True, False))
+    v = m.init(jax.random.PRNGKey(0), x, seg, z)
+    y = m.apply(v, x, seg, z)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+    # None conditions are skipped -> pure instance norm output
+    y_none = m.apply(v, x, None, None)
+    assert np.isfinite(np.asarray(y_none)).all()
+    mb = DualAdaptiveNorm(6, is_spatial=(False,), bias_only=True)
+    vb = mb.init(jax.random.PRNGKey(0), x, z)
+    yb = mb.apply(vb, x, z)
+    assert yb.shape == x.shape
