@@ -199,7 +199,7 @@ def main():
         else:
             rays = FRAME_H * FRAME_W * TIMED_REPS
         print(json.dumps({
-            'metric': 'rays_per_s_full_gan_step_540x960x24',
+            'metric': f'rays_per_s_full_gan_step_{FRAME_H}x{FRAME_W}x{NUM_SAMPLES}',
             'value': round(rays / dt, 1),
             'unit': 'rays/s/chip',
             'vs_baseline': 1.0,
@@ -246,7 +246,7 @@ def main():
     vs = rays_per_s / baseline if baseline else 1.0
 
     print(json.dumps({
-        'metric': 'rays_per_s_fwd_bwd_540x960x24',
+        'metric': f'rays_per_s_fwd_bwd_{FRAME_H}x{FRAME_W}x{NUM_SAMPLES}',
         'value': round(rays_per_s, 1),
         'unit': 'rays/s/chip',
         'vs_baseline': round(vs, 3),
