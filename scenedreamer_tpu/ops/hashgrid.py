@@ -41,8 +41,12 @@ FOLDED_LEVEL_MODE = os.environ.get('SCENEDREAMER_HASH_LEVEL_MODE', 'scan')
 # tiled (non-hashed) index path (`gridencoder.cu:54-72`). 0 disables.
 DENSE_BWD_MAX_SIDE = int(os.environ.get('SCENEDREAMER_HASH_DENSE_SIDE', '64'))
 # Points per chunk in the splat matmul (bounds the [chunk, side^2]
-# one-hot operand; 0 = single shot).
-SPLAT_CHUNK = int(os.environ.get('SCENEDREAMER_SPLAT_CHUNK', '131072'))
+# one-hot operand; 0 = single shot). Swept on v5e: 4096 keeps the
+# [chunk, side_max^2] bf16 one-hot in VMEM (the 131072 default
+# materialized a 944 MB operand in HBM and ran the splat at 1.6 TFLOP/s;
+# 4096 is the measured knee: 131072->1.130s, 8192->1.065s, 4096->1.035s,
+# 2048->1.040s isolated encode fwd+bwd).
+SPLAT_CHUNK = int(os.environ.get('SCENEDREAMER_SPLAT_CHUNK', '4096'))
 # Payload dtype carried through the fine-level sort in the table
 # gradient. bfloat16 halves the sorted bytes; the cumsum still
 # accumulates in f32, and the reference's CUDA backward accumulates in
@@ -122,9 +126,18 @@ def _corner_bits(d):
     return ((idx[:, None] >> np.arange(d, dtype=np.uint32)[None, :]) & 1)
 
 
+# Segment-boundary strategy inside `segment_sum_sorted`. 'sentinel'
+# (default) merges one zero-payload sentinel row per table slot into
+# the payload sort; the inclusive cumsum AT the sentinel positions then
+# gives every boundary prefix directly — no binary search. 'search'
+# keeps the r1 searchsorted formulation (device-profiled at 83 ms/level
+# = 58% of the fine-level backward; the sentinel path replaces it with
+# one cheap 2-operand sort).
+SEGSUM_MODE = os.environ.get('SCENEDREAMER_SEGSUM', 'sentinel')
+
+
 def segment_sum_sorted(upd, idx, num_segments):
-    """Deterministic scatter-free segment sum: sort + cumsum +
-    binary-search difference.
+    """Deterministic scatter-free segment sum: sort + cumsum + gather.
 
     XLA's scatter-add lowers to a serial per-update loop on TPU (~1 s
     for 14M updates); this formulation uses only sort / cumsum / gather,
@@ -132,11 +145,39 @@ def segment_sum_sorted(upd, idx, num_segments):
     replacement for the reference CUDA backward's atomicAdd
     (`gridencoder.cu:227-314`, nondeterministic accumulation order).
 
+    Sentinel mode: one sentinel row per segment (key=r, payload=0) is
+    appended BEHIND the data rows, so the stable sort places it after
+    every data row of key r. The inclusive f32 cumsum at sentinel r's
+    sorted position is then the prefix sum over all segments <= r, and
+    adjacent differences give the per-segment sums. Locating the
+    sentinels is a permutation inversion (one 2-operand sort) — far
+    cheaper than the 22-step binary search over the sorted keys that
+    `searchsorted` lowers to (a gather-bound while loop).
+
     upd: [M, C]; idx: [M] int32 in [0, num_segments). Returns [S, C].
     """
     m, ch = upd.shape
-    # one multi-operand sort carries the payload with the keys (cheaper
-    # than argsort + take)
+    s = num_segments
+    if SEGSUM_MODE == 'sentinel':
+        keys = jnp.concatenate(
+            [idx, jnp.arange(s, dtype=idx.dtype)])
+        orig = jnp.arange(m + s, dtype=jnp.int32)
+        cols = [jnp.concatenate(
+            [upd[:, c], jnp.zeros((s,), upd.dtype)]) for c in range(ch)]
+        ops = jax.lax.sort([keys, orig] + cols, num_keys=1)
+        so = ops[1]
+        su = jnp.stack(ops[2:], axis=-1)                    # [m+s, ch]
+        c = jnp.cumsum(su.astype(jnp.float32), axis=0)      # inclusive
+        # invert the sort permutation: rank[k] = sorted position of
+        # input row k; rows m..m+s-1 are the sentinels in r order
+        _, rank = jax.lax.sort(
+            [so, jnp.arange(m + s, dtype=jnp.int32)], num_keys=1)
+        pos = rank[m:]                                      # [s]
+        csent = jnp.take(c, pos, axis=0)                    # prefix(<=r)
+        prev = jnp.concatenate(
+            [jnp.zeros((1, ch), c.dtype), csent[:-1]], axis=0)
+        return (csent - prev).astype(upd.dtype)
+    # 'search': sort + exclusive cumsum + searchsorted boundaries
     ops = jax.lax.sort([idx] + [upd[:, c] for c in range(ch)],
                        num_keys=1)
     si = ops[0]

@@ -248,3 +248,30 @@ def test_folded_scene_encode_matches_standard():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_segment_sum_sorted_modes_match_scatter(rng, monkeypatch):
+    """Both boundary strategies (sentinel merge / searchsorted) equal a
+    trusted np.add.at scatter, including empty segments, a single hot
+    segment, and fewer updates than segments."""
+    from scenedreamer_tpu.ops import hashgrid as hg
+    cases = [(2000, 64, 8), (37, 512, 3), (100, 16, 2)]
+    for m, s, ch in cases:
+        idx = rng.integers(0, s, m).astype(np.int32)
+        upd = rng.normal(size=(m, ch)).astype(np.float32)
+        ref = np.zeros((s, ch), np.float32)
+        np.add.at(ref, idx, upd)
+        for mode in ('sentinel', 'search'):
+            monkeypatch.setattr(hg, 'SEGSUM_MODE', mode)
+            out = np.asarray(hg.segment_sum_sorted(
+                jnp.asarray(upd), jnp.asarray(idx), s))
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4,
+                                       err_msg=f'{mode} {m}x{s}x{ch}')
+    # all updates into one segment
+    idx = np.full(500, 3, np.int32)
+    upd = np.ones((500, 2), np.float32)
+    for mode in ('sentinel', 'search'):
+        monkeypatch.setattr(hg, 'SEGSUM_MODE', mode)
+        out = np.asarray(hg.segment_sum_sorted(
+            jnp.asarray(upd), jnp.asarray(idx), 8))
+        assert out[3, 0] == 500.0 and float(np.abs(out).sum()) == 1000.0
