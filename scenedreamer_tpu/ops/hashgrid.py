@@ -55,6 +55,16 @@ SORT_PAYLOAD_DTYPE = jnp.bfloat16 if os.environ.get(
     'SCENEDREAMER_SORT_PAYLOAD', 'bfloat16') == 'bfloat16' \
     else jnp.float32
 
+# Dtype the (baked) tables are gathered in. 'bfloat16' halves the
+# random-gather bytes of the forward hot loop AND the saved corner
+# residuals — the TPU analog of the reference's half-precision table
+# mode (`gridencoder.cu` half2 path / AMP training). Master tables and
+# gradients stay f32; only the gathered values round. Opt-in: the
+# flagship train config runs AMP-disabled
+# (`scenedreamer_train.yaml:11-12`), so f32 is the parity default.
+GATHER_DTYPE = jnp.bfloat16 if os.environ.get(
+    'SCENEDREAMER_TABLE_GATHER', 'float32') == 'bfloat16' else jnp.float32
+
 # While 1 is not a good hash prime, it preserves memory coherence in dim 0
 # (same rationale and constants as Instant-NGP / the reference, cu:42).
 _PRIMES = np.array([1, 2654435761, 805459861, 3674653429, 2097192037,
@@ -197,22 +207,26 @@ def segment_sum_sorted(upd, idx, num_segments):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_interp_impl(rows, tl, idx, w):
-    vals = jnp.take(tl, idx, axis=0)                       # [N, K, C]
+    vals = jnp.take(tl.astype(GATHER_DTYPE), idx, axis=0)  # [N, K, C]
     return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
 
 
 def _gather_interp_fwd(rows, tl, idx, w):
-    vals = jnp.take(tl, idx, axis=0)
+    vals = jnp.take(tl.astype(GATHER_DTYPE), idx, axis=0)
     out = jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
-    return out, (vals, idx, w)
+    # the corner-index residual is saved FLAT: under the level lax.scan
+    # the stacked [L, N, 2^D] s32 residual can get an XLA layout with
+    # the 2^D axis minor, which tile-pads (8,128) 16x — 8.6 GB at
+    # crop-256 training scale. A 1-D residual leaves no bad choice.
+    return out, (vals, idx.reshape(-1), w)
 
 
 def _gather_interp_bwd(rows, res, g):
-    vals, idx, w = res
+    vals, idx_flat, w = res
     dw = jnp.einsum('nc,nkc->nk', g, vals).astype(w.dtype)
     upd = (w[..., None] * g[:, None, :]).reshape(-1, vals.shape[-1])
     dtl = segment_sum_sorted(upd.astype(SORT_PAYLOAD_DTYPE),
-                             idx.reshape(-1), rows).astype(g.dtype)
+                             idx_flat, rows).astype(g.dtype)
     return dtl, None, dw
 
 
