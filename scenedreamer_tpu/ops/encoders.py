@@ -62,4 +62,22 @@ def get_encoder(encoding='hashgrid', input_dim=3, degree=4, num_levels=16,
             align_corners=align_corners)
         fn = functools.partial(hashgrid_encode, spec)
         return fn, spec.output_dim, spec
+    if encoding == 'varhashgrid':
+        # reference `grid.py:158-224` VarGridEncoder: the first
+        # `hash_entries` table rows are externally-owned embeddings,
+        # concatenated ahead of the encoder's own rows at call time
+        # (`grid.py:211` input_embeddings = cat([external, own])).
+        # Signature: fn(own_table, external, x).
+        spec = HashGridSpec.create(
+            input_dim=input_dim, num_levels=num_levels,
+            level_dim=level_dim, base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            desired_resolution=desired_resolution,
+            gridtype='hash', align_corners=align_corners)
+
+        def var_encode(table, external, x):
+            return hashgrid_encode(
+                spec, jnp.concatenate([external, table], axis=0), x)
+
+        return var_encode, spec.output_dim, spec
     raise NotImplementedError(f'encoder {encoding}')

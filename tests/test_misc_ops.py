@@ -84,6 +84,24 @@ def test_get_encoder_variants():
     fn, dim, spec = get_encoder('None', input_dim=5)
     assert fn(jnp.ones((2, 5))).shape == (2, 5) and dim == 5
 
+    # varhashgrid (`grid.py:158-224` VarGridEncoder): external rows
+    # prepended to the owned table must be equivalent to one flat table.
+    fn, dim, spec = get_encoder('varhashgrid', input_dim=3, num_levels=4,
+                                level_dim=2, log2_hashmap_size=8,
+                                desired_resolution=64)
+    full_fn, _, _ = get_encoder('hashgrid', input_dim=3, num_levels=4,
+                                level_dim=2, log2_hashmap_size=8,
+                                desired_resolution=64)
+    rng = np.random.default_rng(3)
+    full = jnp.asarray(rng.normal(size=(spec.table_size, 2))
+                       .astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (6, 3)).astype(np.float32))
+    n_ext = 32
+    out_var = fn(full[n_ext:], full[:n_ext], x)
+    assert out_var.shape == (6, dim)
+    np.testing.assert_allclose(np.asarray(out_var),
+                               np.asarray(full_fn(full, x)), rtol=1e-6)
+
 
 def test_diff_aug_policies():
     x = jnp.asarray(np.random.default_rng(0)
