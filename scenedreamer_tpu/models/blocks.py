@@ -10,8 +10,11 @@ Capability parity with the reference layer library (SURVEY.md §2.8):
   * activation norms: none / batch(frozen) / instance / layer / group
     (`imaginaire/layers/activation_norm.py` get_activation_norm_layer);
     SPADE + adaptive variants live in `models/spade.py`
-  * weight norms: none / spectral (`imaginaire/layers/weight_norm.py`);
-    weight demodulation is covered by `ModLinear` in `models/layers.py`
+  * weight norms: none / spectral / weight
+    (`imaginaire/layers/weight_norm.py` get_weight_norm_layer); weight
+    demodulation is `ModLinear` (`models/layers.py`) for linears and
+    `ModulatedConv2d` (`models/blocks_ext.py`) for convs; equalized LR
+    is `EqualizedDense` below
   * `upfirdn2d` / `Blur` / `BlurUpsample` / `BlurDownsample`
     (`imaginaire/third_party/upfirdn2d`, StyleGAN2 resampling)
   * `bias_act` (`imaginaire/third_party/bias_act`): on TPU the bias+act
@@ -236,6 +239,15 @@ class Conv2dBlock(nn.Module):
                 return nn.SpectralNorm(
                     conv, collection_name='spectral_stats')(
                     h, update_stats=update_stats)
+            if self.weight_norm_type == 'weight':
+                # classic weight norm w = g * v/||v||
+                # (`weight_norm.py:246` get_weight_norm_layer 'weight')
+                return nn.WeightNorm(conv)(h)
+            if self.weight_norm_type not in ('none', '', None):
+                # 'weight_demod' is the conditional ModulatedConv2d
+                # (blocks_ext), 'equalized_lr' the EqualizedDense init.
+                raise ValueError(
+                    f'unknown weight norm {self.weight_norm_type}')
             return conv(h)
 
         for i, op in enumerate(self.order.upper()):

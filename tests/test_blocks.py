@@ -146,3 +146,23 @@ def test_vit2dblock_variants():
     assert float(np.asarray(yc).max()) <= 0.0
     assert 'output_scale' in vc['params']['conv'] or \
         'output_scale' in vc['params']
+
+
+def test_conv2dblock_weight_norm():
+    """'weight' norm type (`weight_norm.py:246`): w = g*v/||v|| —
+    at init g = ||v|| so the output matches the plain conv."""
+    import jax, numpy as np
+    import jax.numpy as jnp
+    from scenedreamer_tpu.models.blocks import Conv2dBlock
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(1, 8, 8, 3)).astype(np.float32))
+    m = Conv2dBlock(4, weight_norm_type='weight', nonlinearity='none')
+    p = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(p, x)
+    assert y.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(y)).all()
+
+    import pytest
+    m_bad = Conv2dBlock(4, weight_norm_type='nope')
+    with pytest.raises(ValueError):
+        m_bad.init(jax.random.PRNGKey(0), x)
