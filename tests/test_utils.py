@@ -106,3 +106,51 @@ def test_fid_separates_distributions():
     near = compute_fid(a, rng.normal(size=(400, 8)))
     far = compute_fid(a, b)
     assert far > near + 50
+
+
+def test_misc_split_slice_attrs(tmp_path):
+    from collections import OrderedDict
+    import jax.numpy as jnp
+    from scenedreamer_tpu.utils import misc
+
+    lab = jnp.arange(24.0).reshape(1, 2, 2, 6)
+    parts = misc.split_labels(lab, OrderedDict([('a', 2), ('b', 4)]))
+    assert parts['a'].shape == (1, 2, 2, 2)
+    assert parts['b'].shape == (1, 2, 2, 4)
+    np.testing.assert_allclose(np.asarray(parts['b']),
+                               np.asarray(lab[..., 2:]))
+
+    data = {'x': jnp.ones((4, 3)), 'y': [jnp.zeros((4,)), 'keep'],
+            'z': 7}
+    s = misc.slice_tensor(data, 1, 3)
+    assert s['x'].shape == (2, 3) and s['y'][0].shape == (2,)
+    assert s['y'][1] == 'keep' and s['z'] == 7
+
+    class Cfg:
+        pass
+    c = Cfg()
+    assert misc.get_and_setattr(c, 'lr', 0.1) == 0.1 and c.lr == 0.1
+    c.sub = Cfg(); c.sub.deep = 5
+    assert misc.get_nested_attr(c, 'sub.deep', -1) == 5
+    assert misc.get_nested_attr(c, 'sub.nope', -1) == -1
+
+    d = tmp_path / 'a' / 'b'
+    d.mkdir(parents=True)
+    (d / 'f.png').write_bytes(b'x')
+    assert misc.get_immediate_subdirectories(tmp_path) == ['a']
+    assert misc.get_recursive_subdirectories(tmp_path, 'png') == [str(d)]
+
+
+def test_misc_random_shift():
+    import jax
+    import jax.numpy as jnp
+    from scenedreamer_tpu.utils import misc
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 16, 16, 3)).astype(np.float32))
+    y = misc.random_shift(x, jax.random.PRNGKey(0), offset=0.1)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # zero offset is the identity
+    y0 = misc.random_shift(x, jax.random.PRNGKey(0), offset=0.0)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=1e-5)
