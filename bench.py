@@ -44,6 +44,10 @@ TINY = bool(int(_env('BENCH_TINY', '0')))  # smoke-test model size
 # time only the first N tiles and extrapolate (stress configs: a
 # 2160x3840 frame is 510 tiles; a subset proves memory + rate)
 MAX_TILES = int(_env('BENCH_MAX_TILES', '0'))
+# BENCH_AMP=1: bf16 module compute / f32 params+losses — the TPU
+# analog of the reference's trainer amp_config (disabled in the
+# shipped config, so the default metric stays f32)
+AMP = bool(int(_env('BENCH_AMP', '0')))
 
 
 def build():
@@ -54,17 +58,18 @@ def build():
                                                 ray_voxel_intersection)
     from scenedreamer_tpu.scene import camera as cam
 
+    dtype = jnp.bfloat16 if AMP else jnp.float32
     if TINY:
         cfg = GeneratorConfig(
             num_samples=NUM_SAMPLES, num_blocks_early_stop=MAX_INTERVALS,
             pad=PAD, style_dims=16, interm_style_dims=32,
             final_feat_dim=8, hash_num_levels=4, hash_level_dim=4,
             hash_log2_size=10, hash_desired_resolution=128,
-            mlp_hidden=32, style_enc_num_filters=8)
+            mlp_hidden=32, style_enc_num_filters=8, dtype=dtype)
     else:
         cfg = GeneratorConfig(num_samples=NUM_SAMPLES,
                               num_blocks_early_stop=MAX_INTERVALS,
-                              pad=PAD)
+                              pad=PAD, dtype=dtype)
     world = make_world(size=SCENE, seed=42)
     _log(f'world built {world.dims}')
     model = SceneDreamerGenerator(cfg=cfg)
@@ -162,7 +167,8 @@ def build_full_gan_step():
         b['real_masks'] = masks
         return b
 
-    dis = GANcraftDiscriminator(num_labels=12)
+    dis = GANcraftDiscriminator(
+        num_labels=12, dtype=jnp.bfloat16 if AMP else jnp.float32)
     trainer = GANTrainer(model, dis, world.dims, cfg=TrainerConfig(),
                          perceptual=L.PerceptualLoss())
     state = trainer.init_state(jr.PRNGKey(0), gan_batch(*tiles[0]))
@@ -199,7 +205,8 @@ def main():
         else:
             rays = FRAME_H * FRAME_W * TIMED_REPS
         print(json.dumps({
-            'metric': f'rays_per_s_full_gan_step_{FRAME_H}x{FRAME_W}x{NUM_SAMPLES}',
+            'metric': f'rays_per_s_full_gan_step_{FRAME_H}x{FRAME_W}'
+                      f'x{NUM_SAMPLES}{"_bf16amp" if AMP else ""}',
             'value': round(rays / dt, 1),
             'unit': 'rays/s/chip',
             'vs_baseline': 1.0,
@@ -246,7 +253,8 @@ def main():
     vs = rays_per_s / baseline if baseline else 1.0
 
     print(json.dumps({
-        'metric': f'rays_per_s_fwd_bwd_{FRAME_H}x{FRAME_W}x{NUM_SAMPLES}',
+        'metric': f'rays_per_s_fwd_bwd_{FRAME_H}x{FRAME_W}'
+                  f'x{NUM_SAMPLES}{"_bf16amp" if AMP else ""}',
         'value': round(rays_per_s, 1),
         'unit': 'rays/s/chip',
         'vs_baseline': round(vs, 3),

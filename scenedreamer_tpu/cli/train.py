@@ -22,6 +22,7 @@ import time
 
 def build_everything(cfg, args):
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from scenedreamer_tpu.data.paired_dataset import (AugmentConfig,
                                                       DataLoader,
@@ -44,7 +45,18 @@ def build_everything(cfg, args):
     crop = tuple(gen_cfg.get('crop_size', (256, 256)))
     pad = int(gen_cfg.get('pad', 6))
 
+    # `trainer.amp_config.enabled` (reference
+    # `configs/scenedreamer_train.yaml:11-12`, GradScaler machinery in
+    # `trainers/base.py:77-78`): on TPU, mixed precision = bf16 module
+    # compute with f32 params/losses — no loss scaling needed (bf16
+    # shares the f32 exponent range), and the trainer's
+    # skip-on-nonfinite grad guard covers the overflow-retry analog.
+    amp = bool(cfg.get('trainer', {}).get('amp_config', {})
+               .get('enabled', False))
+    model_dtype = jnp.bfloat16 if amp else jnp.float32
+
     gcfg = GeneratorConfig(
+        dtype=model_dtype,
         style_dims=int(gen_cfg.get('style_dims', 128)),
         interm_style_dims=int(gen_cfg.get('interm_style_dims', 256)),
         final_feat_dim=int(gen_cfg.get('final_feat_dim', 64)),
@@ -71,7 +83,8 @@ def build_everything(cfg, args):
     discriminator = GANcraftDiscriminator(
         num_labels=int(dis_cfg.get('num_labels', 12)),
         num_filters=int(dis_cfg.get('num_filters', 128)),
-        smooth_resample=bool(dis_cfg.get('smooth_resample', True)))
+        smooth_resample=bool(dis_cfg.get('smooth_resample', True)),
+        dtype=model_dtype)
 
     # dataset
     dataset = PairedImageDataset(

@@ -124,10 +124,12 @@ class FPSEDiscriminator(nn.Module):
 
         feat32 = SNConv(2 * nf, kernel_size=self.kernel_size, stride=1,
                         dtype=self.dtype, name='final2')(feat22, update_stats)
-        # plain 1x1 output conv, no SN / activation (`gancraft.py:200`)
+        # plain 1x1 output conv, no SN / activation (`gancraft.py:200`);
+        # logits always f32 so the N+1 log-softmax GAN loss stays full
+        # precision under bf16 mixed-precision compute
         pred2 = SNConv(self.num_labels + 1, kernel_size=1, act=False,
                        use_sn=False, dtype=self.dtype,
-                       name='output')(feat32)
+                       name='output')(feat32).astype(jnp.float32)
 
         if self.smooth_resample:
             label_map = smooth_interp(segmaps, pred2.shape[1:3])

@@ -340,8 +340,11 @@ class SceneDreamerGenerator(nn.Module):
 
     def refine(self, net_out, z):
         """RenderCNN + tanh (`gancraft_base.py:588-603`).
-        net_out: [B, H, W, C] -> image [B, H, W, 3] in [-1, 1]."""
-        raw = self.denoiser(net_out, z)
+        net_out: [B, H, W, C] -> image [B, H, W, 3] in [-1, 1].
+        Output is always f32 — under bf16 mixed precision (the
+        reference's `amp_config`, `configs/scenedreamer_train.yaml:11`)
+        the loss assembly stays full precision."""
+        raw = self.denoiser(net_out, z).astype(jnp.float32)
         return jnp.tanh(raw), raw
 
     # ------------------------------------------------------------------
@@ -371,6 +374,8 @@ class SceneDreamerGenerator(nn.Module):
         else:
             mu, logvar, z = self.encode_style(data['pseudo_real_img'],
                                               rng=k_style)
+            mu = mu.astype(jnp.float32)
+            logvar = logvar.astype(jnp.float32)
         z = self.style_forward(z)
 
         out = self.render_pixels(

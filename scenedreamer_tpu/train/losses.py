@@ -63,7 +63,10 @@ def feature_matching_loss(fake_features, real_features):
     total = 0.0
     n = 0
     for f, r in zip(fake_features, real_features):
-        total = total + jnp.mean(jnp.abs(f - jax.lax.stop_gradient(r)))
+        # f32 reduction even under bf16 mixed-precision D features
+        diff = f.astype(jnp.float32) \
+            - jax.lax.stop_gradient(r).astype(jnp.float32)
+        total = total + jnp.mean(jnp.abs(diff))
         n += 1
     return total / max(n, 1)
 

@@ -217,3 +217,29 @@ def _shim_unflatten(aux, children):
 
 jax.tree_util.register_pytree_node(_StateShim, _shim_flatten,
                                    _shim_unflatten)
+
+
+def test_bf16_amp_train_step(train_batch):
+    """bf16 mixed-precision mode (the reference `amp_config` analog,
+    `trainers/base.py:77-78`): module compute in bf16, params/losses
+    f32 — one full D+G step must stay finite and move params."""
+    import dataclasses
+    world, data = train_batch
+    gen = SceneDreamerGenerator(
+        cfg=dataclasses.replace(TINY, dtype=jnp.bfloat16))
+    dis = GANcraftDiscriminator(num_labels=NUM_LBL, num_filters=8,
+                                dtype=jnp.bfloat16)
+    trainer = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig(),
+                         perceptual=None, iters_per_epoch=10)
+    state = trainer.init_state(jax.random.PRNGKey(0), data)
+    # params stay f32 under bf16 compute
+    dts = {str(x.dtype) for x in jax.tree_util.tree_leaves(state.g_params)}
+    assert dts == {'float32'}, dts
+    g0 = jax.device_get(state.g_params)
+    state, metrics = trainer.train_step(state, data, jax.random.PRNGKey(1))
+    for k in ('dis/total', 'gen/total', 'gen/l2', 'gen/kl'):
+        assert np.isfinite(float(metrics[k])), k
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), g0,
+        jax.device_get(state.g_params))
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
