@@ -65,6 +65,10 @@ def main(argv=None):
                         '(reference inference_givenstyle_depth)')
     p.add_argument('--platform', default=None,
                    help="force a jax platform (e.g. 'cpu')")
+    p.add_argument('--amp', action='store_true',
+                   help='bf16 module compute (f32 params) — the '
+                        'serving analog of the reference running its '
+                        'oracle half-precision (trainers/gancraft.py:41)')
     a = p.parse_args(argv)
 
     if a.platform:
@@ -85,9 +89,11 @@ def main(argv=None):
                               maps.tree_map, fill_depth=16, seed=a.seed)
     print(f'[inference] voxel world {world.dims}')
 
+    import jax.numpy as jnp
     cfg = GeneratorConfig(num_samples=a.num_samples,
                           num_blocks_early_stop=a.num_blocks_early_stop,
-                          sample_depth=a.sample_depth)
+                          sample_depth=a.sample_depth,
+                          dtype=jnp.bfloat16 if a.amp else jnp.float32)
     model = SceneDreamerGenerator(cfg=cfg)
     key = jax.random.PRNGKey(a.seed)
     params = load_generator_params(a.checkpoint, model, world, cfg, key)
