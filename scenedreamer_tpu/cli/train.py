@@ -126,7 +126,19 @@ def build_everything(cfg, args):
         print('[train] WARNING: SPADE oracle randomly initialized '
               '(provide --spade-checkpoint for real pseudo-GT)')
 
+    if amp:
+        # the reference evals its frozen oracle half-precision
+        # unconditionally (`trainers/gancraft.py:41`); the TPU analog
+        # of `.half()` is casting the frozen weights to bf16 — jnp
+        # type promotion then runs every conv in bf16 with no module
+        # changes. The builder casts the image back to f32.
+        sp_vars = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, sp_vars)
+
     def spade_apply(masks, key):
+        if amp:
+            masks = masks.astype(jnp.bfloat16)
         return spade.apply(sp_vars, {'label': masks}, random_style=True,
                            rngs={'style': key})['fake_images']
 

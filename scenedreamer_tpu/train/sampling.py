@@ -206,7 +206,9 @@ class PseudoGTGenerator:
             masks_in = jax.image.resize(
                 fake_masks, (fake_masks.shape[0], r, r,
                              fake_masks.shape[-1]), 'nearest')
-        img = self.spade_apply(masks_in, key)
+        # f32 regardless of oracle precision (the reference's fp16
+        # oracle output is consumed in f32 too, `scenedreamer.py:204`)
+        img = self.spade_apply(masks_in, key).astype(jnp.float32)
         img = jnp.nan_to_num(img, nan=0.0, posinf=0.0, neginf=0.0)
         if self.resize_512:
             b, hh, ww, _ = fake_masks.shape
