@@ -167,10 +167,10 @@ def build_full_gan_step():
         b['real_masks'] = masks
         return b
 
-    dis = GANcraftDiscriminator(
-        num_labels=12, dtype=jnp.bfloat16 if AMP else jnp.float32)
+    amp_dt = jnp.bfloat16 if AMP else jnp.float32
+    dis = GANcraftDiscriminator(num_labels=12, dtype=amp_dt)
     trainer = GANTrainer(model, dis, world.dims, cfg=TrainerConfig(),
-                         perceptual=L.PerceptualLoss())
+                         perceptual=L.PerceptualLoss(dtype=amp_dt))
     state = trainer.init_state(jr.PRNGKey(0), gan_batch(*tiles[0]))
     return trainer, state, gan_batch, tiles
 

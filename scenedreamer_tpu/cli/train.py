@@ -173,7 +173,7 @@ def build_everything(cfg, args):
         if perc_cfg:
             kwargs = dict(layers=tuple(perc_cfg['layers']),
                           weights=tuple(perc_cfg['weights']))
-        perceptual = L.PerceptualLoss(**kwargs)
+        perceptual = L.PerceptualLoss(dtype=model_dtype, **kwargs)
     ema_cfg = cfg.get('trainer', {}).get('model_average_config', {})
     ema_beta = 0.0
     if ema_cfg.get('enabled', False):

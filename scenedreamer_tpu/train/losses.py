@@ -94,8 +94,9 @@ class PerceptualLoss:
     """
 
     def __init__(self, params=None, layers=PERCEPTUAL_LAYERS,
-                 weights=PERCEPTUAL_WEIGHTS, rng_seed=0):
-        self.model = VGG19Features(layers=tuple(layers))
+                 weights=PERCEPTUAL_WEIGHTS, rng_seed=0,
+                 dtype=jnp.float32):
+        self.model = VGG19Features(layers=tuple(layers), dtype=dtype)
         self.layers = tuple(layers)
         self.weights = tuple(weights)
         if params is None:
@@ -110,6 +111,8 @@ class PerceptualLoss:
         ft = self.model.apply(self.params, target)
         loss = 0.0
         for layer, w in zip(self.layers, self.weights):
-            loss = loss + w * jnp.mean(
-                jnp.abs(fi[layer] - jax.lax.stop_gradient(ft[layer])))
+            # f32 reduction even when the VGG runs bf16 under amp
+            diff = fi[layer].astype(jnp.float32) - jax.lax.stop_gradient(
+                ft[layer]).astype(jnp.float32)
+            loss = loss + w * jnp.mean(jnp.abs(diff))
         return loss
