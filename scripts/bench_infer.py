@@ -25,6 +25,8 @@ def main():
     p.add_argument('--scene', type=int, default=256)
     p.add_argument('--resolution', type=int, nargs=2, default=[540, 960])
     p.add_argument('--tile', type=int, default=128)
+    p.add_argument('--amp', action='store_true',
+                   help='bf16 module compute (serving mode)')
     a = p.parse_args()
 
     from scenedreamer_tpu.data.synthetic import make_world
@@ -34,7 +36,9 @@ def main():
     from scenedreamer_tpu.scene.camera import EvalCameraController
     from scenedreamer_tpu.data.synthetic import make_batch
 
-    cfg = GeneratorConfig(num_samples=a.samples)
+    import jax.numpy as jnp
+    cfg = GeneratorConfig(num_samples=a.samples,
+                          dtype=jnp.bfloat16 if a.amp else jnp.float32)
     world = make_world(size=a.scene, seed=42)
     model = SceneDreamerGenerator(cfg=cfg)
     batch = make_batch(world, batch_size=1, height=40, width=40,
