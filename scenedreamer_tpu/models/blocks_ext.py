@@ -845,7 +845,6 @@ class HyperSpatiallyAdaptiveNorm(nn.Module):
     def __call__(self, x, cond_inputs, norm_weights=None):
         from scenedreamer_tpu.models.blocks import Conv2dBlock
         from scenedreamer_tpu.models.blocks import _FrozenBatchNorm2d
-        from scenedreamer_tpu.models.blocks import hyper_conv2d  # noqa: F401
         from scenedreamer_tpu.models import blocks as _blocks
         out = _FrozenBatchNorm2d(x.shape[-1], affine=False,
                                  name='norm')(x)
