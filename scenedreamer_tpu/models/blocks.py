@@ -181,6 +181,38 @@ class _FrozenBatchNorm2d(nn.Module):
         return y
 
 
+def weight_norm_conv(mod, x, features, kernel_shape, stride, use_bias,
+                     dtype=jnp.float32):
+    """Classic weight normalization w = g * v/||v||_per-out-channel
+    (`weight_norm.py:246` get_weight_norm_layer 'weight'), matching
+    torch's identity-at-init contract: g initializes to ||v|| so the
+    normalized conv equals the plain conv at initialization (flax's
+    nn.WeightNorm initializes scale to 1, which silently renormalizes
+    the init — wrong dynamics and unconvertible checkpoints).
+
+    kernel_shape: spatial dims tuple; works for any rank (NWC/NHWC/
+    NDHWC)."""
+    rank = len(kernel_shape)
+    in_f = x.shape[-1]
+    v = mod.param('wn_v', xavier_gain(),
+                  kernel_shape + (in_f, features))
+    norm_axes = tuple(range(rank + 1))           # all but the out axis
+    g = mod.param('wn_g',
+                  lambda key: jnp.sqrt(jnp.sum(v * v, axis=norm_axes)))
+    w = v * (g * jax.lax.rsqrt(
+        jnp.sum(v * v, axis=norm_axes) + 1e-12))
+    pads = tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel_shape)
+    specs = {1: ('NWC', 'WIO', 'NWC'), 2: ('NHWC', 'HWIO', 'NHWC'),
+             3: ('NDHWC', 'DHWIO', 'NDHWC')}[rank]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype), (stride,) * rank, pads,
+        dimension_numbers=specs)
+    if use_bias:
+        b = mod.param('wn_bias', nn.initializers.zeros, (features,))
+        y = y + b.astype(dtype)
+    return y
+
+
 def make_norm(norm_type, features):
     """Norm factory; None for 'none'."""
     if norm_type in (None, 'none', ''):
@@ -240,9 +272,9 @@ class Conv2dBlock(nn.Module):
                     conv, collection_name='spectral_stats')(
                     h, update_stats=update_stats)
             if self.weight_norm_type == 'weight':
-                # classic weight norm w = g * v/||v||
-                # (`weight_norm.py:246` get_weight_norm_layer 'weight')
-                return nn.WeightNorm(conv)(h)
+                return weight_norm_conv(
+                    self, h, self.features, (self.kernel_size,) * 2,
+                    self.stride, self.use_bias, dtype=self.dtype)
             if self.weight_norm_type not in ('none', '', None):
                 # 'weight_demod' is the conditional ModulatedConv2d
                 # (blocks_ext), 'equalized_lr' the EqualizedDense init.

@@ -91,8 +91,14 @@ def get_nonlinearity(nonlinearity_type):
     if t == 'sigmoid':
         return jax.nn.sigmoid
     if t.startswith('softmax'):
-        # torch default dim=1 is the channel axis -> channel-last -1.
-        axis = -1 if ',' not in t else int(t.split(',')[1])
+        # the reference's 'softmax,<dim>' dims are NCHW; translate to
+        # channel-last: dim 1 (channel) -> -1, spatial dim d>1 -> d-1,
+        # batch dim 0 stays 0.
+        if ',' in t:
+            d = int(t.split(',')[1])
+            axis = {0: 0, 1: -1}.get(d, d - 1)
+        else:
+            axis = -1
         return lambda x: jax.nn.softmax(x, axis=axis)
     if t in ('none', ''):
         return None
@@ -216,6 +222,15 @@ class _ConvNdBlock(nn.Module):
                 return nn.SpectralNorm(
                     conv, collection_name='spectral_stats')(
                     h, update_stats=update_stats)
+            if self.weight_norm_type == 'weight':
+                from scenedreamer_tpu.models.blocks import \
+                    weight_norm_conv
+                return weight_norm_conv(
+                    self, h, self.features, (self.kernel_size,) * r,
+                    self.stride, self.use_bias, dtype=self.dtype)
+            if self.weight_norm_type not in ('none', '', None):
+                raise ValueError(
+                    f'unknown weight norm {self.weight_norm_type}')
             return conv(h)
 
         for i, op in enumerate(self.order.upper()):
@@ -384,16 +399,20 @@ class UpRes2dBlock(nn.Module):
 class DeepRes2dBlock(nn.Module):
     """Bottleneck residual block: 1x1-in -> kxk -> kxk -> 1x1-out with
     hidden = in/hidden_channel_ratio (`residual_deep.py:13-265`).
-    stride 2 downsamples (second conv strided; shortcut via
-    BlurDownsample or avg-pool + 1x1); when in < out and no learned
-    shortcut, the shortcut concatenates a conv producing the missing
-    channels (`residual_deep.py:144-156`)."""
+    stride 2 downsamples — the second (strided) residual conv gets the
+    FIR blur like the reference's second_blur (`_get_stride_blur`),
+    the shortcut goes through BlurDownsample/avg-pool + 1x1. When
+    in < out without a learned shortcut, the shortcut concatenates a
+    conv producing the missing channels (`residual_deep.py:144-156`).
+    The shortcut conv carries no nonlinearity unless skip_nonlinearity
+    (reference default False, `residual_deep.py:131-156`)."""
     features: int
     kernel_size: int = 3
     stride: int = 1
     weight_norm_type: str = 'none'
     activation_norm_type: str = 'none'
     nonlinearity: str = 'leakyrelu'
+    skip_nonlinearity: bool = False
     order: str = 'CNACNA'
     blur: bool = True
     learn_shortcut: bool = False
@@ -403,12 +422,13 @@ class DeepRes2dBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, update_stats=False):
+        from scenedreamer_tpu.models.blocks import Conv2dBlock
         in_f = x.shape[-1]
         hidden = max(1, in_f // self.hidden_channel_ratio)
         order = ('NACNAC' if self.order == 'pre_act' else self.order)
         half = len(order) // 2
         block = functools.partial(
-            _ConvNdBlock, weight_norm_type=self.weight_norm_type,
+            Conv2dBlock, weight_norm_type=self.weight_norm_type,
             activation_norm_type=self.activation_norm_type,
             nonlinearity=self.nonlinearity, dtype=self.dtype)
 
@@ -418,21 +438,25 @@ class DeepRes2dBlock(nn.Module):
                   order=order[:half], name='conv_block_0')(
             h, update_stats)
         h = block(hidden, kernel_size=self.kernel_size,
-                  stride=self.stride, order=order[half:],
-                  name='conv_block_1')(h, update_stats)
+                  stride=self.stride, blur=self.blur,
+                  order=order[half:], name='conv_block_1')(
+            h, update_stats)
         h = block(self.features, kernel_size=1, order=order[:half],
                   name='conv_block_1x1_out')(h, update_stats)
 
+        skip_nl = self.nonlinearity if self.skip_nonlinearity else 'none'
+        sblock = functools.partial(
+            block, kernel_size=1, nonlinearity=skip_nl,
+            order=order[:half])
         xs = x
         if self.stride > 1:
             xs = (BlurDownsample(name='blur_down')(xs) if self.blur else
                   nn.avg_pool(xs, (2, 2), strides=(2, 2)))
         if self.learn_shortcut:
-            xs = block(self.features, kernel_size=1, order=order[:half],
-                       name='conv_block_s')(xs, update_stats)
+            xs = sblock(self.features, name='conv_block_s')(
+                xs, update_stats)
         elif in_f < self.features:
-            extra = block(self.features - in_f, kernel_size=1,
-                          order=order[:half], name='conv_block_s')(
+            extra = sblock(self.features - in_f, name='conv_block_s')(
                 xs, update_stats)
             xs = jnp.concatenate([xs, extra], axis=-1)
         elif in_f > self.features:
@@ -472,10 +496,13 @@ class ModulatedConv2d(nn.Module):
         xm = x * style[:, None, None, :]
         pad = (k - 1) // 2
         if self.stride == 0.5:
+            # transpose_kernel=True + [H,W,out,in] layout reproduces
+            # torch F.conv_transpose2d exactly (parity-tested at 5e-7)
             y = jax.lax.conv_transpose(
-                xm, w, strides=(2, 2),
+                xm, jnp.transpose(w, (0, 1, 3, 2)), strides=(2, 2),
                 padding=((pad, pad), (pad, pad)),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                transpose_kernel=True)
         else:
             s = int(self.stride)
             y = jax.lax.conv_general_dilated(
@@ -535,32 +562,37 @@ class ModulatedConv2dBlock(nn.Module):
 
 class ModulatedRes2dBlock(nn.Module):
     """Residual pair of modulated conv blocks
-    (`residual.py` ModulatedRes2dBlock)."""
+    (`residual.py:276-330` ModulatedRes2dBlock). Only the residual
+    pair is modulated — the learned shortcut is a plain unmodulated
+    1x1 conv (the reference passes skip_block=Conv2dBlock); noise
+    injection after each modulated conv is on by default like the
+    reference's apply_noise=True."""
     features: int
     kernel_size: int = 3
     demodulate: bool = True
     nonlinearity: str = 'leakyrelu'
+    apply_noise: bool = True
     order: str = 'CNACNA'
     output_scale: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, z, noise_key=None):
+        from scenedreamer_tpu.models.blocks import Conv2dBlock
         half = len(self.order) // 2
         block = functools.partial(
             ModulatedConv2dBlock, self.features,
             kernel_size=self.kernel_size, demodulate=self.demodulate,
-            nonlinearity=self.nonlinearity, dtype=self.dtype)
+            nonlinearity=self.nonlinearity,
+            apply_noise=self.apply_noise, dtype=self.dtype)
         h = block(order=self.order[:half], name='conv_block_0')(
             x, z, noise_key)
         h = block(order=self.order[half:], name='conv_block_1')(
             h, z, noise_key)
         if x.shape[-1] != self.features:
-            x = ModulatedConv2dBlock(self.features, kernel_size=1,
-                                     demodulate=self.demodulate,
-                                     nonlinearity='none', order='C',
-                                     dtype=self.dtype,
-                                     name='conv_block_s')(x, z)
+            x = Conv2dBlock(self.features, kernel_size=1,
+                            nonlinearity='none', order='C',
+                            dtype=self.dtype, name='conv_block_s')(x)
         return self.output_scale * (h + x)
 
 

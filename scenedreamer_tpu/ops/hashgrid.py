@@ -225,8 +225,11 @@ def _gather_interp_bwd(rows, res, g):
     vals, idx_flat, w = res
     dw = jnp.einsum('nc,nkc->nk', g, vals).astype(w.dtype)
     upd = (w[..., None] * g[:, None, :]).reshape(-1, vals.shape[-1])
+    # table cotangent in the weights' (= master table's) dtype, NOT
+    # g.dtype: under SCENEDREAMER_TABLE_GATHER=bfloat16 the cotangent
+    # arrives bf16 but the master table and its gradient stay f32
     dtl = segment_sum_sorted(upd.astype(SORT_PAYLOAD_DTYPE),
-                             idx_flat, rows).astype(g.dtype)
+                             idx_flat, rows).astype(w.dtype)
     return dtl, None, dw
 
 

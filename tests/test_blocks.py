@@ -149,8 +149,9 @@ def test_vit2dblock_variants():
 
 
 def test_conv2dblock_weight_norm():
-    """'weight' norm type (`weight_norm.py:246`): w = g*v/||v|| —
-    at init g = ||v|| so the output matches the plain conv."""
+    """'weight' norm type (`weight_norm.py:246`): w = g*v/||v|| with
+    g initialized to ||v|| — identity reparameterization at init,
+    exactly torch nn.utils.weight_norm semantics."""
     import jax, numpy as np
     import jax.numpy as jnp
     from scenedreamer_tpu.models.blocks import Conv2dBlock
@@ -161,6 +162,20 @@ def test_conv2dblock_weight_norm():
     y = m.apply(p, x)
     assert y.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(y)).all()
+
+    # identity at init: g=||v|| cancels the normalization, so the
+    # output equals a plain conv with kernel v
+    v = p['params']['wn_v']
+    g = p['params']['wn_g']
+    np.testing.assert_allclose(
+        np.asarray(g),
+        np.sqrt(np.sum(np.asarray(v) ** 2, axis=(0, 1, 2))), rtol=1e-6)
+    import jax.lax as lax
+    y_plain = lax.conv_general_dilated(
+        x, v, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_plain),
+                               rtol=1e-4, atol=1e-5)
 
     import pytest
     m_bad = Conv2dBlock(4, weight_norm_type='nope')

@@ -91,6 +91,42 @@ def test_deepres2d_block():
     assert m.apply(m.init(k, x), x).shape == (2, 8, 8, 4)
 
 
+def test_modulated_res2d_block():
+    k = jax.random.PRNGKey(10)
+    x = jnp.ones((2, 8, 8, 4))
+    z = jnp.ones((2, 16))
+    m = bx.ModulatedRes2dBlock(6)
+    nk = jax.random.PRNGKey(11)
+    p = m.init(k, x, z, noise_key=nk)
+    # shortcut is a plain (unmodulated) conv: no style projection
+    assert 'modulation' not in p['params']['conv_block_s']
+    y = m.apply(p, x, z, noise_key=nk)
+    assert y.shape == (2, 8, 8, 6)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_deepres_shortcut_has_no_activation():
+    """Reference skip_nonlinearity defaults False
+    (`residual_deep.py:131-156`): the concat shortcut is linear in x,
+    so doubling a positive input doubles the shortcut output."""
+    k = jax.random.PRNGKey(12)
+    x = jnp.full((1, 4, 4, 8), -1.0)  # negative: leakyrelu would bend
+    m = bx.DeepRes2dBlock(16, nonlinearity='relu',
+                          activation_norm_type='none')
+    p = m.init(k, x)
+    # extract the shortcut contribution: out = xs_concat + h; compare
+    # two amplitudes of a negative constant input through only the
+    # shortcut conv params
+    sp = {'params': {'conv': p['params']['conv_block_s']['conv']}}
+    from scenedreamer_tpu.models.blocks import Conv2dBlock
+    sconv = Conv2dBlock(8, kernel_size=1, nonlinearity='none',
+                        order='C')
+    y1 = sconv.apply(sp, x)
+    y2 = sconv.apply(sp, 2.0 * x)
+    np.testing.assert_allclose(np.asarray(y2),
+                               2.0 * np.asarray(y1), rtol=1e-5)
+
+
 def test_multiout_blocks():
     k = jax.random.PRNGKey(4)
     x = jnp.ones((2, 8, 8, 4))
@@ -197,7 +233,8 @@ def test_modulated_conv2d_parity():
     x = rng.normal(size=(n, hw, hw, cin)).astype(np.float32)
     style = rng.normal(size=(n, cin)).astype(np.float32) + 1.0
 
-    for demod, stride in ((True, 1), (False, 1), (True, 2)):
+    for demod, stride in ((True, 1), (False, 1), (True, 2),
+                          (True, 0.5)):
         ref = RefMod(cin, cout, k, stride, k // 2, 1, 1, True, 'zeros',
                      demodulate=demod)
         ours = bx.ModulatedConv2d(cout, k, stride=stride,
