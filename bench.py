@@ -83,12 +83,11 @@ def build():
     rd = camera_rays(jnp.asarray(d), jnp.asarray(up), f * (FRAME_W - 1),
                      ((cam_h - 1) / 2, (cam_w - 1) / 2),
                      (cam_h, cam_w))
-    # giant frames (stress config: 8.3M rays over a 2048^2 grid) must be
-    # chunk-dispatched — one multi-minute DDA program overruns the worker
-    n_rays = cam_h * cam_w
+    # giant frames (stress config: 8.3M rays over a 2048^2 grid) are
+    # chunk-dispatched by the op's chunk='auto' default
     vid, dep, hit = ray_voxel_intersection(
         jnp.asarray(world.voxel), jnp.asarray(ori), rd.reshape(-1, 3),
-        MAX_INTERVALS, chunk=(1 << 20) if n_rays > (2 << 20) else None)
+        MAX_INTERVALS)
     # force a real host sync (block_until_ready lies over the tunnel)
     _log(f'full-frame ray intersection done (hits {int(jnp.sum(hit))})')
     vid = vid.reshape(cam_h, cam_w, MAX_INTERVALS)
@@ -188,17 +187,19 @@ def main():
             _log(f'subset mode: {MAX_TILES} tiles')
         batches = [gan_batch(y, x) for (y, x) in tiles]
         _log('BENCH_FULL: compiling D+G train step...')
+        # host-fetch a scalar, NOT block_until_ready — the latter can
+        # return early over the axon tunnel (CLAUDE.md timing note)
         for i in range(WARMUP_STEPS):
             state, m = trainer.train_step(state, batches[0],
                                           jax.random.PRNGKey(i))
-            jax.block_until_ready(m)
+            float(m['gen/total'])
             _log(f'warmup {i} done')
         t0 = time.perf_counter()
         for _ in range(TIMED_REPS):
             for b in batches:
                 state, m = trainer.train_step(state, b,
                                               jax.random.PRNGKey(9))
-        jax.block_until_ready(m)
+        float(m['gen/total'])
         dt = time.perf_counter() - t0
         if MAX_TILES:
             rays = TILE * TILE * len(batches) * TIMED_REPS

@@ -293,12 +293,14 @@ class Conv2dBlock(nn.Module):
                     x = norm(x)
             elif op == 'A':
                 if self.nonlinearity not in (None, 'none', ''):
-                    key = {'leakyrelu': 'leakyrelu',
-                           'relu': 'relu', 'tanh': 'tanh',
-                           'sigmoid': 'sigmoid', 'elu': 'elu',
-                           'softplus': 'softplus'}.get(
-                        self.nonlinearity, self.nonlinearity)
-                    x = bias_act(x, act=key)
+                    if self.nonlinearity.startswith('fused_'):
+                        # StyleGAN fused path keeps its def_gain
+                        x = bias_act(x, act=self.nonlinearity[6:])
+                    else:
+                        # torch get_nonlinearity_layer semantics: NO
+                        # sqrt(2) gain on relu/lrelu
+                        x = bias_act(x, act=self.nonlinearity,
+                                     gain=1.0)
             else:
                 raise ValueError(f'bad order char {op}')
         return x
@@ -322,7 +324,11 @@ class LinearBlock(nn.Module):
                 x = dense(x)
             elif op == 'A' and self.nonlinearity not in (None, 'none',
                                                          ''):
-                x = bias_act(x, act=self.nonlinearity)
+                if self.nonlinearity.startswith('fused_'):
+                    x = bias_act(x, act=self.nonlinearity[6:])
+                else:
+                    # torch semantics: no sqrt(2) act gain
+                    x = bias_act(x, act=self.nonlinearity, gain=1.0)
         return x
 
 
@@ -564,7 +570,10 @@ class HyperConv2dBlock(nn.Module):
                     x = norm(x)
             elif op == 'A':
                 if self.nonlinearity not in (None, 'none', ''):
-                    x = bias_act(x, act=self.nonlinearity)
+                    if self.nonlinearity.startswith('fused_'):
+                        x = bias_act(x, act=self.nonlinearity[6:])
+                    else:
+                        x = bias_act(x, act=self.nonlinearity, gain=1.0)
         return x
 
 
@@ -608,9 +617,13 @@ class ViT2dBlock(nn.Module):
         in_f = x.shape[-1]
         pad = (self.kernel_size - 1) // 2
         if self.stride == 0.5:
+            # reference vit.py:157-161: fractional stride =
+            # ConvTranspose2d(stride=2, padding=0) -> out 2*in-2+k
+            # ('VALID' reproduces torch's padding=0 output size;
+            # CLAUDE.md bans 'SAME' on strided convs for parity)
             conv = nn.ConvTranspose(
                 self.features, (self.kernel_size, self.kernel_size),
-                strides=(2, 2), padding='SAME', use_bias=self.use_bias,
+                strides=(2, 2), padding='VALID', use_bias=self.use_bias,
                 kernel_init=xavier_gain(), dtype=self.dtype, name='conv')
         else:
             s = int(self.stride)
@@ -651,7 +664,10 @@ class ViT2dBlock(nn.Module):
                     x = norm(x)
             elif op == 'A':
                 if self.nonlinearity not in (None, 'none', ''):
-                    x = bias_act(x, act=self.nonlinearity)
+                    if self.nonlinearity.startswith('fused_'):
+                        x = bias_act(x, act=self.nonlinearity[6:])
+                    else:
+                        x = bias_act(x, act=self.nonlinearity, gain=1.0)
             else:
                 raise ValueError(f'bad order char {op}')
         return x

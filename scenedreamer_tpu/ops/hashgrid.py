@@ -460,13 +460,13 @@ def _splat_gather(static, tl, pos_grid, frac):
     for dd in range(d):
         h = h ^ (corner[..., dd].astype(jnp.uint32) * primes[dd])
     idx = (h & jnp.uint32(size - 1)).astype(jnp.int32)
-    vals = jnp.take(tl, idx, axis=0)
+    vals = jnp.take(tl.astype(GATHER_DTYPE), idx, axis=0)
     return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
 
 
 def _splat_fwd(static, tl, pos_grid, frac, perm, start, end):
     out = _splat_gather(static, tl, pos_grid, frac)
-    return out, (pos_grid, frac, perm, start, end)
+    return out, (tl, pos_grid, frac, perm, start, end)
 
 
 def _splat_bwd(static, res, g):
@@ -482,12 +482,14 @@ def _splat_bwd(static, res, g):
     grid is then remapped into hash slots with trace-time constants
     (`_dense_remap_consts`) — no runtime sort at all.
 
-    Spatial coords never carry gradients in the folded path (ray sample
-    depths are stop_gradient; the scene-code grad flows through
-    `_xor_bake`), so no dw is computed.
+    The frac cotangent IS computed (re-gather + per-dim exclusion
+    products) so jax.grad w.r.t. the input coords matches the sort
+    path bit-for-bit in structure — production training stop-gradients
+    ray depths, but the op is public and must not silently drop input
+    gradients on coarse levels only.
     """
     size, sm = static
-    pos_grid, frac, perm, start, end = res
+    tl, pos_grid, frac, perm, start, end = res
     n, c = g.shape
     sd = _SPLAT_DTYPE
     iota = jnp.arange(sm, dtype=pos_grid.dtype)
@@ -536,7 +538,33 @@ def _splat_bwd(static, res, g):
         [jnp.zeros((1, c), jnp.float32), jnp.cumsum(sorted_rows, axis=0)],
         axis=0)
     d_tl = (jnp.take(cum, end, axis=0) - jnp.take(cum, start, axis=0))
-    return (d_tl.astype(g.dtype), None, None, None, None, None)
+
+    # input (frac) cotangent: re-gather the corner values and form the
+    # per-dimension exclusion products — same math the sort path gets
+    # from autodiff through w = prod(t)
+    d = pos_grid.shape[-1]
+    bits = jnp.asarray(_corner_bits(d), jnp.int32)
+    primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
+    corner = pos_grid[:, None, :] + bits[None]
+    h = jnp.zeros(corner.shape[:-1], jnp.uint32)
+    for dd in range(d):
+        h = h ^ (corner[..., dd].astype(jnp.uint32) * primes[dd])
+    idx = (h & jnp.uint32(size - 1)).astype(jnp.int32)
+    vals = jnp.take(tl, idx, axis=0)                      # [N, K, C]
+    gv = jnp.einsum('nc,nkc->nk', g, vals)                # [N, K]
+    bit_on = bits[None].astype(bool)                      # [1, K, D]
+    t = jnp.where(bit_on, frac[:, None, :],
+                  1.0 - frac[:, None, :])                 # [N, K, D]
+    sign = jnp.where(bit_on, 1.0, -1.0).astype(g.dtype)
+    dfrac_cols = []
+    for dd in range(d):
+        excl = jnp.prod(
+            jnp.concatenate([t[..., :dd], t[..., dd + 1:]], axis=-1),
+            axis=-1)                                      # [N, K]
+        dfrac_cols.append(
+            jnp.sum(gv * sign[..., dd] * excl, axis=-1))
+    dfrac = jnp.stack(dfrac_cols, axis=-1).astype(frac.dtype)
+    return (d_tl.astype(g.dtype), None, dfrac, None, None, None)
 
 
 _splat_interp.defvjp(_splat_fwd, _splat_bwd)

@@ -167,7 +167,7 @@ class TiledRenderer:
             raydirs.reshape(-1, 3), self.m,
             # giant frames over giant grids: chunk-dispatch the DDA so
             # no single program runs for minutes (see ray_voxel.py)
-            chunk=(1 << 20) if n_rays > (2 << 20) else None)
+            chunk='auto')
         vid = vid.reshape(1, h, w, self.m)
         dep = dep.reshape(1, h, w, self.m, 2)
         hit = hit.reshape(1, h, w, self.m)
@@ -209,33 +209,50 @@ class TiledRenderer:
         tb = self.tiles_per_batch
         for s in range(0, len(coords), tb):
             group = coords[s:s + tb]
-            gpad = tb - len(group)
-            group_full = group + [group[-1]] * gpad
-            def stack(arr):
-                return jnp.concatenate(
-                    [arr[:, y0:y0 + tile_in, x0:x0 + tile_in]
-                     for (y0, x0) in group_full], axis=0)
-            b = len(group_full)
-            imgs, dexps = self._tile_fn(
-                self.params, stack(vid), stack(dep), stack(hit),
-                stack(raydirs),
-                jnp.broadcast_to(cam_ori, (b, 3)),
-                jnp.broadcast_to(z, (b,) + z.shape[1:]),
-                jnp.broadcast_to(self.global_enc,
-                                 (b,) + self.global_enc.shape[1:]),
-                jnp.broadcast_to(sky_avg, (b,) + sky_avg.shape[1:]),
-                key)
-            imgs = np.asarray(imgs)
-            dexps = np.asarray(dexps)
-            for i, (y0, x0) in enumerate(group):
-                out[y0:y0 + self.tile, x0:x0 + self.tile] = imgs[i]
-                out_d[y0:y0 + self.tile, x0:x0 + self.tile] = dexps[i]
+            group_full = group + [group[-1]] * (tb - len(group))
+            imgs, dexps = self._dispatch_tiles(
+                group_full, tile_in, vid, dep, hit, raydirs, cam_ori,
+                z, sky_avg, key)
+            self._stitch(out, out_d, imgs, dexps, group)
+        return self._finish(out, out_d, vid, return_aux)
+
+    def _dispatch_tiles(self, coords_full, tile_in, vid, dep, hit,
+                        raydirs, cam_ori, z, sky_avg, key,
+                        place=None, place_params=None):
+        """Stack the tile crops into one batch and run _tile_fn;
+        `place`/`place_params` optionally shard the operands."""
+        ident = lambda a: a
+        place = place or ident
+        place_params = place_params or ident
+        b = len(coords_full)
+
+        def stack(arr):
+            return place(jnp.concatenate(
+                [arr[:, y0:y0 + tile_in, x0:x0 + tile_in]
+                 for (y0, x0) in coords_full], axis=0))
+
+        def bcast(arr):
+            return place(jnp.broadcast_to(arr, (b,) + arr.shape[1:]))
+
+        imgs, dexps = self._tile_fn(
+            place_params(self.params), stack(vid), stack(dep),
+            stack(hit), stack(raydirs), bcast(cam_ori), bcast(z),
+            bcast(self.global_enc), bcast(sky_avg), key)
+        return np.asarray(imgs), np.asarray(dexps)
+
+    def _stitch(self, out, out_d, imgs, dexps, coords):
+        for i, (y0, x0) in enumerate(coords):
+            out[y0:y0 + self.tile, x0:x0 + self.tile] = imgs[i]
+            out_d[y0:y0 + self.tile, x0:x0 + self.tile] = dexps[i]
+
+    def _finish(self, out, out_d, vid, return_aux):
         if return_aux:
             p0 = self.pad // 2
             return out, {
                 'depth': out_d,
                 'first_voxel_id': np.asarray(
-                    vid[0, p0:p0 + self.res[0], p0:p0 + self.res[1], 0]),
+                    vid[0, p0:p0 + self.res[0], p0:p0 + self.res[1],
+                        0]),
             }
         return out
 
@@ -245,33 +262,14 @@ class TiledRenderer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         n_dev = int(np.prod([self.mesh.shape[a]
                              for a in self.mesh.axis_names]))
-        t = len(coords)
-        tpad = (-t) % n_dev
-        coords_full = coords + [coords[-1]] * tpad
-        b = len(coords_full)
-        spec = P(tuple(self.mesh.axis_names))
-        sh = NamedSharding(self.mesh, spec)
+        coords_full = coords + [coords[-1]] * ((-len(coords)) % n_dev)
+        sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
         rep = NamedSharding(self.mesh, P())
-
-        def stack(arr):
-            stacked = jnp.concatenate(
-                [arr[:, y0:y0 + tile_in, x0:x0 + tile_in]
-                 for (y0, x0) in coords_full], axis=0)
-            return jax.device_put(stacked, sh)
-
-        def bcast(arr):
-            return jax.device_put(
-                jnp.broadcast_to(arr, (b,) + arr.shape[1:]), sh)
-
-        imgs, dexps = self._tile_fn(
-            jax.device_put(self.params, rep), stack(vid), stack(dep),
-            stack(hit), stack(raydirs), bcast(cam_ori), bcast(z),
-            bcast(self.global_enc), bcast(sky_avg), key)
-        imgs = np.asarray(imgs)
-        dexps = np.asarray(dexps)
-        for i, (y0, x0) in enumerate(coords):
-            out[y0:y0 + self.tile, x0:x0 + self.tile] = imgs[i]
-            out_d[y0:y0 + self.tile, x0:x0 + self.tile] = dexps[i]
+        imgs, dexps = self._dispatch_tiles(
+            coords_full, tile_in, vid, dep, hit, raydirs, cam_ori, z,
+            sky_avg, key, place=lambda a: jax.device_put(a, sh),
+            place_params=lambda a: jax.device_put(a, rep))
+        self._stitch(out, out_d, imgs, dexps, coords)
         if return_aux:
             p0 = self.pad // 2
             return out, {

@@ -31,16 +31,30 @@ def _cross_process_mean(names, means):
 
     One allgather of a dense [n_meters] vector per flush (NaN marks a
     meter with no local values; nanmean reduces). Single-process is the
-    identity — and so is the multi-device single-process test mesh."""
+    identity — and so is the multi-device single-process test mesh.
+
+    Contract (same as the reference's per-meter dist allreduce,
+    `utils/meters.py:76-149`): every process must register the SAME
+    meter-name set — rank-divergent meters would silently average
+    unrelated scalars by index, so the name set is fingerprinted into
+    the gathered vector and a mismatch raises instead."""
     import jax
     if jax.process_count() == 1:
         return means
+    import zlib
     from jax.experimental import multihost_utils
-    vec = np.asarray([means.get(n, np.nan) for n in names], np.float64)
+    fp = float(zlib.crc32('\x00'.join(names).encode()))
+    vec = np.asarray([fp] + [means.get(n, np.nan) for n in names],
+                     np.float64)
     all_vecs = np.asarray(
-        multihost_utils.process_allgather(vec))      # [P, n_meters]
+        multihost_utils.process_allgather(vec))   # [P, 1 + n_meters]
+    if not np.all(all_vecs[:, 0] == fp):
+        raise RuntimeError(
+            'meter name sets diverge across processes; register the '
+            'same meters on every rank (rank-local metrics must be '
+            'flushed through a separate writer)')
     with np.errstate(invalid='ignore'):
-        red = np.nanmean(all_vecs, axis=0)
+        red = np.nanmean(all_vecs[:, 1:], axis=0)
     return {n: red[i] for i, n in enumerate(names)
             if red[i] == red[i]}
 

@@ -136,7 +136,9 @@ def test_vit2dblock_variants():
     up = ViT2dBlock(3, stride=0.5, blur=True)
     vu = up.init(jax.random.PRNGKey(0), x)
     yu = up.apply(vu, x)
-    assert yu.shape == (2, 16, 16, 3)
+    # torch ConvTranspose2d(stride=2, padding=0) size: 2*in - 2 + k
+    # (reference vit.py:157-161 asserts padding == 0)
+    assert yu.shape == (2, 17, 17, 3)
 
     # max-clamp applies to the conv output, scale is learnable
     clamped = ViT2dBlock(3, clamp=0.0, output_scale=2.0,

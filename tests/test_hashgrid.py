@@ -217,6 +217,36 @@ def test_dense_splat_backward_matches_sort_backward(monkeypatch):
                                rtol=1e-2, atol=1e-5)
 
 
+def test_dense_splat_input_gradient_matches_sort(monkeypatch):
+    """jax.grad w.r.t. the spatial coords must NOT depend on whether
+    coarse levels use the dense-splat or the sort backward — the splat
+    custom_vjp computes the frac cotangent via exclusion products."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenedreamer_tpu.ops import hashgrid as hg
+    spec = hg.HashGridSpec.create(input_dim=5, num_levels=4, level_dim=2,
+                                  log2_hashmap_size=10,
+                                  desired_resolution=256)
+    table = hg.init_hashgrid_table(jax.random.PRNGKey(3), spec)
+    xyz = jax.random.uniform(jax.random.PRNGKey(7), (200, 3),
+                             minval=-0.9, maxval=0.9)
+    scene = jnp.asarray([-0.2, 0.55])
+
+    def gx(x):
+        return jax.grad(lambda xx: jnp.sum(jnp.sin(
+            hg.hashgrid_encode_folded(spec, table, xx, scene) * 30.0)))(x)
+
+    monkeypatch.setattr(hg, 'DENSE_BWD_MAX_SIDE', 0)
+    g_sort = jax.jit(gx)(xyz)
+    monkeypatch.setattr(hg, 'DENSE_BWD_MAX_SIDE', 64)
+    g_dense = jax.jit(gx)(xyz)
+    assert np.abs(np.asarray(g_sort)).sum() > 0
+    np.testing.assert_allclose(
+        np.asarray(g_dense), np.asarray(g_sort),
+        rtol=0, atol=2e-2 * float(np.abs(np.asarray(g_sort)).max()))
+
+
 def test_folded_scene_encode_matches_standard():
     """Scene-folded fast path == standard 5D encode (same table)."""
     import jax
