@@ -362,6 +362,40 @@ def _encode_flat(spec, table, x01):
     return jnp.concatenate(outs, axis=-1)
 
 
+# xor permutation strategy inside `_xor_bake`. 'blocked' (default)
+# exploits the butterfly structure of j ^ m: the high mask bits permute
+# whole 128-row blocks (one cheap block-granular take at HBM bandwidth)
+# and the low bits apply the SAME 128-element permutation inside every
+# block — expressed as one [128, 128] one-hot matmul on the MXU, which
+# is bit-exact (each output row receives exactly one 1.0-weighted term
+# at HIGHEST precision). Measured on v5e: 10.6 ms -> 1.14 ms per bake
+# of a [2^19, 8] f32 table x 4 masks (the gather form pays the random-
+# row transaction floor on all S rows). 'gather' keeps the plain form.
+XOR_BAKE_MODE = os.environ.get('SCENEDREAMER_XOR_BAKE', 'blocked')
+_XOR_BLOCK = 128
+
+
+def _xor_take(x, m):
+    """out[j] = x[j ^ m] for a [S, C] table, S a power of two and m a
+    traced uint32 scalar in [0, S)."""
+    s, c = x.shape
+    blo = min(_XOR_BLOCK, s)
+    if XOR_BAKE_MODE != 'blocked' or s & (s - 1) or s % blo:
+        j = jnp.arange(s, dtype=jnp.uint32)
+        return jnp.take(x, (j ^ m).astype(jnp.int32), axis=0)
+    shi = s // blo
+    x3 = x.reshape(shi, blo, c)
+    m = m.astype(jnp.uint32)
+    hi = (m // jnp.uint32(blo)).astype(jnp.int32)
+    lo = m & jnp.uint32(blo - 1)
+    xh = jnp.take(x3, jnp.arange(shi, dtype=jnp.int32) ^ hi, axis=0)
+    i = jnp.arange(blo, dtype=jnp.uint32)
+    perm1h = ((i[:, None] ^ lo) == i[None, :]).astype(x.dtype)
+    out = jnp.einsum('ij,bjc->bic', perm1h, xh,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(s, c)
+
+
 @jax.custom_vjp
 def _xor_bake(tl, masks, w):
     """baked[j] = sum_a w[a] * tl[j ^ masks[a]] — fold the (shared)
@@ -370,12 +404,9 @@ def _xor_bake(tl, masks, w):
     tl [S, C]; masks [A] uint32; w [A] float. Backward uses the xor
     self-inverse: d_tl[k] = sum_a w[a] * g[k ^ masks[a]] — gathers only,
     no scatter."""
-    S = tl.shape[0]
-    j = jnp.arange(S, dtype=jnp.uint32)
     out = jnp.zeros_like(tl)
     for a in range(masks.shape[0]):
-        out = out + w[a] * jnp.take(
-            tl, (j ^ masks[a]).astype(jnp.int32), axis=0)
+        out = out + w[a] * _xor_take(tl, masks[a])
     return out
 
 
@@ -385,14 +416,13 @@ def _xor_bake_fwd(tl, masks, w):
 
 def _xor_bake_bwd(res, g):
     tl, masks, w = res
-    S = tl.shape[0]
-    j = jnp.arange(S, dtype=jnp.uint32)
     d_tl = jnp.zeros_like(tl)
     d_w = []
     for a in range(masks.shape[0]):
-        perm = (j ^ masks[a]).astype(jnp.int32)
-        d_tl = d_tl + w[a] * jnp.take(g, perm, axis=0)
-        d_w.append(jnp.sum(jnp.take(tl, perm, axis=0) * g))
+        ga = _xor_take(g, masks[a])
+        d_tl = d_tl + w[a] * ga
+        # sum_j tl[j^m]*g[j] == sum_k tl[k]*g[k^m]: reuse the permuted g
+        d_w.append(jnp.sum(tl * ga))
     return d_tl, None, jnp.stack(d_w).astype(w.dtype)
 
 

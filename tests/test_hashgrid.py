@@ -305,3 +305,43 @@ def test_segment_sum_sorted_modes_match_scatter(rng, monkeypatch):
         out = np.asarray(hg.segment_sum_sorted(
             jnp.asarray(upd), jnp.asarray(idx), 8))
         assert out[3, 0] == 500.0 and float(np.abs(out).sum()) == 1000.0
+
+
+def test_xor_take_blocked_bit_exact(rng, monkeypatch):
+    """The blocked xor permutation (block take + one-hot MXU matmul) is
+    bit-exact vs the plain gather form, including masks that touch only
+    low bits, only high bits, and non-power-of-2 table fallback."""
+    from scenedreamer_tpu.ops import hashgrid as hg
+    monkeypatch.setattr(hg, 'XOR_BAKE_MODE', 'blocked')
+    for s, c in ((1 << 13, 8), (256, 4), (64, 3)):
+        x = jnp.asarray(rng.normal(size=(s, c)).astype(np.float32))
+        for m in (0, 1, 7, s // 2, s - 1, 0b1010101 % s):
+            ref = jnp.take(x, (jnp.arange(s, dtype=jnp.uint32)
+                               ^ jnp.uint32(m)).astype(jnp.int32), axis=0)
+            got = hg._xor_take(x, jnp.uint32(m))
+            assert bool(jnp.all(ref == got)), (s, c, m)
+    # non-power-of-2 size falls back to the gather form
+    x = jnp.asarray(rng.normal(size=(48, 2)).astype(np.float32))
+    got = hg._xor_take(x, jnp.uint32(0))
+    assert bool(jnp.all(got == x))
+
+
+def test_xor_bake_blocked_matches_gather_fwd_bwd(rng, monkeypatch):
+    """_xor_bake fwd and grads agree between 'blocked' and 'gather'."""
+    from scenedreamer_tpu.ops import hashgrid as hg
+    s, c = 1 << 12, 8
+    tl = jnp.asarray(rng.normal(size=(s, c)).astype(np.float32))
+    masks = jnp.asarray(rng.integers(0, s, 4), jnp.uint32)
+    w = jnp.asarray(rng.normal(size=4).astype(np.float32))
+
+    def loss(t, ww):
+        return jnp.sum(jnp.tanh(hg._xor_bake(t, masks, ww)))
+
+    outs = {}
+    for mode in ('gather', 'blocked'):
+        monkeypatch.setattr(hg, 'XOR_BAKE_MODE', mode)
+        out = hg._xor_bake(tl, masks, w)
+        gt, gw = jax.grad(loss, argnums=(0, 1))(tl, w)
+        outs[mode] = (np.asarray(out), np.asarray(gt), np.asarray(gw))
+    for a, b in zip(outs['gather'], outs['blocked']):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
