@@ -74,3 +74,69 @@ def image_grid(images, cols=None):
         r, col = divmod(i, cols)
         grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = im
     return grid
+
+
+def tensor2pilimage(image, width=None, height=None,
+                    minus1to1_normalized=False):
+    """[H, W, 3] float image -> PIL image, optionally bicubic-resized
+    (reference `visualization/common.py:43-71`, NHWC here)."""
+    from PIL import Image
+    image = np.asarray(image)
+    if image.ndim != 3:
+        raise ValueError('Image tensor dimension does not equal 3.')
+    if image.shape[-1] != 3:
+        raise ValueError('Image has more than 3 channels.')
+    if minus1to1_normalized:
+        image = (image + 1.0) * 0.5
+    out = Image.fromarray(
+        np.clip(image * 255.0, 0, 255).astype(np.uint8))
+    if width is not None and height is not None:
+        out = out.resize((width, height), Image.BICUBIC)
+    return out
+
+
+def save_tensor_image(filename, image, minus1to1_normalized=False):
+    """Write an [H, W, 3] float image to disk, creating parent dirs
+    (reference `visualization/common.py:14-40`)."""
+    import os
+    dirname = os.path.dirname(filename)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
+    tensor2pilimage(image, minus1to1_normalized=minus1to1_normalized
+                    ).save(filename)
+
+
+def tensor2flow(flow, imtype=np.uint8):
+    """Optical flow [..., H, W, 2] -> RGB color-wheel image(s): hue =
+    flow angle, value = min-max-normalized magnitude (reference
+    `visualization/common.py:158-190`; NHWC here). Batched inputs and
+    lists recurse to lists like the reference."""
+    import cv2
+    if flow is None:
+        return None
+    if isinstance(flow, (list, tuple)):
+        outs = [tensor2flow(f, imtype) for f in flow if f is not None]
+        return outs or None
+    flow = np.asarray(flow, np.float32)
+    if flow.ndim >= 4:
+        return [tensor2flow(flow[b], imtype) for b in range(flow.shape[0])]
+    hsv = np.zeros((flow.shape[0], flow.shape[1], 3), dtype=imtype)
+    hsv[:, :, 1] = 255
+    mag, ang = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+    hsv[..., 0] = ang * 180 / np.pi / 2
+    hsv[..., 2] = cv2.normalize(mag, None, 0, 255, cv2.NORM_MINMAX)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+
+def plot_keypoints(image, keypoints, color=(0, 255, 0), radius=5):
+    """Draw filled circles at [N, 2] (x, y) keypoints on an HWC uint8
+    image (reference `visualization/common.py:192-217`)."""
+    import cv2
+    image = np.ascontiguousarray(np.asarray(image))
+    assert image.ndim == 3 and image.shape[-1] in (1, 3)
+    keypoints = np.asarray(keypoints)
+    assert keypoints.ndim == 2 and keypoints.shape[1] == 2
+    for kp in np.round(keypoints).astype(np.int32):
+        image = cv2.circle(image, (int(kp[0]), int(kp[1])), radius,
+                           color, -1)
+    return image

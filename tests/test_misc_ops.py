@@ -131,3 +131,40 @@ def test_visualization_helpers():
     assert d.shape == (2, 2, 3) and np.isfinite(d).all()
     grid = image_grid([im, im, im], cols=2)
     assert grid.shape == (8, 8, 3)
+
+
+def test_tensor2flow_colorwheel():
+    """Flow -> RGB: zero flow maps to a constant image; pure +x flow and
+    pure +y flow get distinct hues; batched input returns a list."""
+    from scenedreamer_tpu.utils import visualization as vz
+    z = np.zeros((8, 8, 2), np.float32)
+    rgb0 = vz.tensor2flow(z)
+    assert rgb0.shape == (8, 8, 3) and rgb0.dtype == np.uint8
+    ramp = np.linspace(0, 2, 64, dtype=np.float32).reshape(8, 8)
+    fx = np.zeros((8, 8, 2), np.float32)
+    fx[..., 0] = ramp
+    fy = np.zeros((8, 8, 2), np.float32)
+    fy[..., 1] = ramp
+    rx, ry = vz.tensor2flow(fx), vz.tensor2flow(fy)
+    assert not np.array_equal(rx, ry)
+    batched = vz.tensor2flow(np.stack([fx, fy]))
+    assert isinstance(batched, list) and len(batched) == 2
+    assert vz.tensor2flow(None) is None
+
+
+def test_tensor2pilimage_save_and_keypoints(tmp_path):
+    from scenedreamer_tpu.utils import visualization as vz
+    img = np.random.default_rng(0).uniform(-1, 1, (16, 12, 3)).astype(
+        np.float32)
+    pil = vz.tensor2pilimage(img, minus1to1_normalized=True)
+    assert pil.size == (12, 16)
+    pil2 = vz.tensor2pilimage((img + 1) / 2, width=24, height=32)
+    assert pil2.size == (24, 32)
+    out = str(tmp_path / 'sub' / 'img.png')
+    vz.save_tensor_image(out, img, minus1to1_normalized=True)
+    import os
+    assert os.path.exists(out)
+    base = np.zeros((32, 32, 3), np.uint8)
+    drawn = vz.plot_keypoints(base, np.array([[5.0, 7.0], [20.0, 10.0]]))
+    assert drawn[7, 5, 1] == 255 and drawn[10, 20, 1] == 255
+    assert drawn[31, 31, 1] == 0
