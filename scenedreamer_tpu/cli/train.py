@@ -126,18 +126,20 @@ def build_everything(cfg, args):
         print('[train] WARNING: SPADE oracle randomly initialized '
               '(provide --spade-checkpoint for real pseudo-GT)')
 
-    if amp:
+    oracle_bf16 = not args.spade_oracle_f32
+    if oracle_bf16:
         # the reference evals its frozen oracle half-precision
-        # unconditionally (`trainers/gancraft.py:41`); the TPU analog
-        # of `.half()` is casting the frozen weights to bf16 — jnp
-        # type promotion then runs every conv in bf16 with no module
-        # changes. The builder casts the image back to f32.
+        # unconditionally (`trainers/gancraft.py:41` calls `.half()`
+        # whether or not AMP is on); the TPU analog of `.half()` is
+        # casting the frozen weights to bf16 — jnp type promotion then
+        # runs every conv in bf16 with no module changes. The builder
+        # casts the image back to f32.
         sp_vars = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, sp_vars)
 
     def spade_apply(masks, key):
-        if amp:
+        if oracle_bf16:
             masks = masks.astype(jnp.bfloat16)
         return spade.apply(sp_vars, {'label': masks}, random_style=True,
                            rngs={'style': key})['fake_images']
@@ -211,6 +213,11 @@ def main(argv=None):
                    help='resolution the oracle is evaluated at '
                         '(512 = reference)')
     p.add_argument('--spade-filters', type=int, default=128)
+    p.add_argument('--spade-oracle-f32', action='store_true',
+                   help='keep the frozen SPADE oracle in f32 (the '
+                        'reference runs it half-precision always, '
+                        'trainers/gancraft.py:41, so bf16 is the '
+                        'default)')
     p.add_argument('--logdir', default='logs')
     p.add_argument('--batch-size', type=int, default=1)
     p.add_argument('--max-epoch', type=int, default=None)
