@@ -213,6 +213,10 @@ def main(argv=None):
                    help='resolution the oracle is evaluated at '
                         '(512 = reference)')
     p.add_argument('--spade-filters', type=int, default=128)
+    p.add_argument('--world-switch-every', type=int, default=1,
+                   help='resample the PCG world every N iterations '
+                        '(1 = the reference per-iteration semantics, '
+                        'scenedreamer.py:88)')
     p.add_argument('--spade-oracle-f32', action='store_true',
                    help='keep the frozen SPADE oracle in f32 (the '
                         'reference runs it half-precision always, '
@@ -292,8 +296,13 @@ def main(argv=None):
     t0 = time.time()
     for epoch in range(max_epoch):
         loader.set_epoch(epoch)
-        world = world_cache.sample_world(rng=_RandomAdapter(rng))
         for data_np in loader:
+            # the reference resamples the PCG world every iteration
+            # (`scenedreamer.py:88` sample_world in _get_batch);
+            # --world-switch-every N amortizes the host densify for
+            # demo runs without changing the default semantics
+            if it % max(1, a.world_switch_every) == 0:
+                world = world_cache.sample_world(rng=_RandomAdapter(rng))
             key, k_batch, k_step = jax.random.split(key, 3)
             data = {k: jax.numpy.asarray(v) for k, v in data_np.items()
                     if k in ('images', 'label')}
