@@ -298,11 +298,13 @@ def main(argv=None):
         loader.set_epoch(epoch)
         for data_np in loader:
             # the reference resamples the PCG world every iteration
-            # (`scenedreamer.py:88` sample_world in _get_batch);
-            # --world-switch-every N amortizes the host densify for
-            # demo runs without changing the default semantics
+            # (`scenedreamer.py:88` sample_world in _get_batch); with
+            # batch > 1 each element gets its OWN world — the analog of
+            # one world per DDP rank. --world-switch-every N amortizes
+            # the host densify for demo runs.
             if it % max(1, a.world_switch_every) == 0:
-                world = world_cache.sample_world(rng=_RandomAdapter(rng))
+                world = [world_cache.sample_world(rng=_RandomAdapter(rng))
+                         for _ in range(a.batch_size)]
             key, k_batch, k_step = jax.random.split(key, 3)
             data = {k: jax.numpy.asarray(v) for k, v in data_np.items()
                     if k in ('images', 'label')}

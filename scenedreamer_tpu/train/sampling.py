@@ -288,16 +288,40 @@ class TrainingBatchBuilder:
 
     def __call__(self, data, world, rng, key):
         """data: {'images': [B,H,W,3], 'label': [B,H,W,184]} (may be
-        empty dict for pseudo-GT-only training). Returns the merged
-        training batch."""
-        batch_size = data['images'].shape[0] if 'images' in data else 1
-        rays = self.sampler.sample(world, batch_size, rng)
+        empty dict for pseudo-GT-only training). `world` is a single
+        world or a list of per-sample worlds (multi-scene batch — the
+        analog of the reference's one-world-per-DDP-rank layout,
+        `scenedreamer.py:88`; all worlds must share voxel dims so the
+        jitted step stays static). Returns the merged training batch."""
+        worlds = (list(world) if isinstance(world, (list, tuple))
+                  else [world])
+        batch_size = (data['images'].shape[0] if 'images' in data
+                      else max(1, len(worlds)))
         ret = dict(data)
+        if len(worlds) == 1:
+            w0 = worlds[0]
+            rays = self.sampler.sample(w0, batch_size, rng)
+            hf = np.repeat(w0.height_field.transpose(0, 2, 3, 1),
+                           batch_size, 0)
+            sf = np.repeat(w0.semantic_field.transpose(0, 2, 3, 1),
+                           batch_size, 0)
+        else:
+            if len(worlds) != batch_size:
+                raise ValueError(
+                    f'got {len(worlds)} worlds for batch {batch_size}')
+            dims = {tuple(w.voxel.shape) for w in worlds}
+            if len(dims) != 1:
+                raise ValueError(f'worlds differ in voxel dims: {dims}')
+            parts = [self.sampler.sample(w, 1, rng) for w in worlds]
+            rays = {k: jnp.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
+            hf = np.concatenate(
+                [w.height_field.transpose(0, 2, 3, 1) for w in worlds])
+            sf = np.concatenate(
+                [w.semantic_field.transpose(0, 2, 3, 1) for w in worlds])
         ret.update(rays)
-        ret['height_field'] = jnp.asarray(np.repeat(
-            world.height_field.transpose(0, 2, 3, 1), batch_size, 0))
-        ret['semantic_field'] = jnp.asarray(np.repeat(
-            world.semantic_field.transpose(0, 2, 3, 1), batch_size, 0))
+        ret['height_field'] = jnp.asarray(hf)
+        ret['semantic_field'] = jnp.asarray(sf)
         if self.pseudo_gt is not None:
             pseudo, _ = self.pseudo_gt(rays['voxel_id'], rng, key)
             ret['pseudo_real_img'] = pseudo

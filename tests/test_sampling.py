@@ -154,3 +154,35 @@ def test_batched_proposals_match_k1_selection(world):
                                np.asarray(b4['raydirs']), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(b1['voxel_id']),
                                   np.asarray(b4['voxel_id']))
+
+
+def test_multi_scene_batch_builder(world):
+    """One world per batch element (the reference's per-DDP-rank world
+    layout): per-sample BEV fields differ, shapes stack to [B, ...],
+    and mismatched dims / counts are rejected."""
+    # synthetic worlds crop to the terrain height range, so a different
+    # seed usually changes dims (real caches crop uniformly, which is
+    # what the builder requires); derive a second same-dims world by
+    # perturbing the fixture's BEV fields
+    import dataclasses
+    world2 = dataclasses.replace(
+        world,
+        height_field=world.height_field * 0.5 + 0.1,
+        semantic_field=np.ascontiguousarray(
+            world.semantic_field[:, ::-1]))
+    builder = TrainingBatchBuilder(CameraBatchSampler(CFG))
+    rng = np.random.default_rng(3)
+    data = {'images': jnp.zeros((2, 28, 28, 3)),
+            'label': jax.nn.one_hot(
+                np.random.default_rng(1).integers(0, 184, (2, 28, 28)),
+                184, dtype=jnp.float32)}
+    batch = builder(data, [world, world2], rng, jax.random.PRNGKey(0))
+    assert batch['voxel_id'].shape[0] == 2
+    assert batch['height_field'].shape[0] == 2
+    hf = np.asarray(batch['height_field'])
+    assert not np.array_equal(hf[0], hf[1])
+    sf = np.asarray(batch['semantic_field'])
+    assert not np.array_equal(sf[0], sf[1])
+
+    with pytest.raises(ValueError, match='worlds for batch'):
+        builder(data, [world, world2, world], rng, jax.random.PRNGKey(0))
