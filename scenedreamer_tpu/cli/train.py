@@ -286,10 +286,12 @@ def main(argv=None):
     rng = np.random.default_rng(a.seed + jax.process_index())
     key = jax.random.PRNGKey(a.seed + jax.process_index())
 
-    # first world defines voxel dims for the jitted step; worlds in one
-    # cache share the 256-level height so dims stay static across swaps
-    world = world_cache.sample_world(rng=_RandomAdapter(rng))
-    trainer.voxel_dims = tuple(int(d) for d in world.voxel.shape)
+    # one world per batch element (reference: one per DDP rank).
+    # WorldCache crops every world to the cache-wide height slab, so
+    # voxel dims are static across swaps and the step never retraces.
+    world = [world_cache.sample_world(rng=_RandomAdapter(rng))
+             for _ in range(a.batch_size)]
+    trainer.voxel_dims = tuple(int(d) for d in world[0].voxel.shape)
 
     state = None
     it = 0
@@ -302,7 +304,7 @@ def main(argv=None):
             # batch > 1 each element gets its OWN world — the analog of
             # one world per DDP rank. --world-switch-every N amortizes
             # the host densify for demo runs.
-            if it % max(1, a.world_switch_every) == 0:
+            if it > 0 and it % max(1, a.world_switch_every) == 0:
                 world = [world_cache.sample_world(rng=_RandomAdapter(rng))
                          for _ in range(a.batch_size)]
             key, k_batch, k_step = jax.random.split(key, 3)

@@ -247,8 +247,17 @@ def save_world_cache(world, outdir):
     np.save(os.path.join(outdir, 'hmap_mc.npy'), world.heightmap)
 
 
-def load_world_cache(world_dir, sample_height=SAMPLE_HEIGHT):
-    """Load one cached world (densify COO, crop to [gnd, sky))."""
+def load_world_cache(world_dir, sample_height=SAMPLE_HEIGHT,
+                     crop_height=None):
+    """Load one cached world (densify COO, crop to [gnd, sky)).
+
+    crop_height: if given, crop to a FIXED [gnd, gnd + crop_height)
+    slab (zero-padded above the 256-level ceiling) instead of the
+    world's own [gnd, sky). The reference's torch loop tolerates a
+    different voxel height per world (`pcg_gen.py:43-46`); a jitted
+    TPU step needs static dims, so `WorldCache` passes the cache-wide
+    max height here.
+    """
     sparse = np.load(os.path.join(world_dir, 'voxel_sparse.npy'))
     height_field = np.load(os.path.join(world_dir, 'height_map.npy'))
     semantic_field = np.load(os.path.join(world_dir, 'semantic_map.npy'))
@@ -259,11 +268,21 @@ def load_world_cache(world_dir, sample_height=SAMPLE_HEIGHT):
     voxel[idx[0], idx[1], idx[2]] = sparse[3]
     gnd = int(heightmap.min())
     sky = int(heightmap.max()) + 1
+    if crop_height is not None:
+        if crop_height < sky - gnd:
+            raise ValueError(f'crop_height {crop_height} < world height '
+                             f'{sky - gnd} in {world_dir}')
+        sky = gnd + int(crop_height)
     if semantic_field.shape[1] < 11:  # pad tree channel if absent
         pad = np.zeros((1, 11 - semantic_field.shape[1], size, size),
                        semantic_field.dtype)
         semantic_field = np.concatenate([semantic_field, pad], axis=1)
-    return VoxelWorld(voxel=np.ascontiguousarray(voxel[gnd:sky]),
+    slab = voxel[gnd:sky]
+    if slab.shape[0] < sky - gnd:    # fixed slab rises past level 256
+        slab = np.concatenate(
+            [slab, np.zeros((sky - gnd - slab.shape[0], size, size),
+                            np.int8)], axis=0)
+    return VoxelWorld(voxel=np.ascontiguousarray(slab),
                       heightmap=heightmap.astype(np.int32),
                       height_field=height_field.astype(np.float32),
                       semantic_field=semantic_field.astype(np.float32),
@@ -272,15 +291,28 @@ def load_world_cache(world_dir, sample_height=SAMPLE_HEIGHT):
 
 class WorldCache:
     """Directory of cached worlds; random sampling for training
-    (reference PCGCache, `pcg_gen.py:10-57`)."""
+    (reference PCGCache, `pcg_gen.py:10-57`).
 
-    def __init__(self, cache_dir):
+    Every sampled world is cropped to the same height slab (the max
+    [gnd, sky) span over the cache, scanned once from the small
+    `hmap_mc.npy` files at init) so the jitted training step keeps
+    static voxel dims across per-iteration world swaps."""
+
+    def __init__(self, cache_dir, uniform_height=True):
         self.paths = sorted(
             os.path.join(cache_dir, p) for p in os.listdir(cache_dir)
             if os.path.isdir(os.path.join(cache_dir, p)))
         if not self.paths:
             raise FileNotFoundError(f'no cached worlds in {cache_dir}')
+        self.slab_height = None
+        if uniform_height:
+            spans = []
+            for p in self.paths:
+                hm = np.load(os.path.join(p, 'hmap_mc.npy'))
+                spans.append(int(hm.max()) - int(hm.min()) + 1)
+            self.slab_height = max(spans)
 
     def sample_world(self, rng=None):
         rng = rng or random
-        return load_world_cache(rng.choice(self.paths))
+        return load_world_cache(rng.choice(self.paths),
+                                crop_height=self.slab_height)

@@ -132,7 +132,8 @@ def plot_keypoints(image, keypoints, color=(0, 255, 0), radius=5):
     """Draw filled circles at [N, 2] (x, y) keypoints on an HWC uint8
     image (reference `visualization/common.py:192-217`)."""
     import cv2
-    image = np.ascontiguousarray(np.asarray(image))
+    # always draw on a copy (the reference's RGB->BGR slice copies too)
+    image = np.array(image, copy=True)
     assert image.ndim == 3 and image.shape[-1] in (1, 3)
     keypoints = np.asarray(keypoints)
     assert keypoints.ndim == 2 and keypoints.shape[1] == 2

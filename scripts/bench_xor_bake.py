@@ -49,7 +49,6 @@ print('devices:', jax.devices(), flush=True)
 run('full (current bake path)')
 
 # fake bake: no gathers, same blend arithmetic shape
-orig_fwd, orig_bwd = hg._xor_bake_fwd, hg._xor_bake_bwd
 
 
 @jax.custom_vjp

@@ -186,3 +186,10 @@ def test_multi_scene_batch_builder(world):
 
     with pytest.raises(ValueError, match='worlds for batch'):
         builder(data, [world, world2, world], rng, jax.random.PRNGKey(0))
+
+    # mismatched voxel dims are rejected (a jitted step needs static
+    # dims; WorldCache guarantees this via the uniform height slab)
+    import dataclasses as dc
+    shorter = dc.replace(world, voxel=world.voxel[:-1])
+    with pytest.raises(ValueError, match='voxel dims'):
+        builder(data, [world, shorter], rng, jax.random.PRNGKey(0))

@@ -61,6 +61,20 @@ def test_cache_roundtrip(tmp_path, small_world):
     np.testing.assert_array_equal(loaded.heightmap, w.heightmap)
     assert loaded.y_offset == gnd
 
+    # uniform height slab: a taller fixed crop zero-pads above and a
+    # WorldCache always returns the cache-wide slab (static jit dims)
+    taller = voxel_world.load_world_cache(
+        str(tmp_path / 'w0'), crop_height=(sky - gnd) + 3)
+    assert taller.voxel.shape[0] == (sky - gnd) + 3
+    np.testing.assert_array_equal(taller.voxel[:sky - gnd],
+                                  loaded.voxel)
+    cache = voxel_world.WorldCache(str(tmp_path))
+    assert cache.slab_height == sky - gnd
+    assert cache.sample_world().voxel.shape == loaded.voxel.shape
+    with pytest.raises(ValueError, match='crop_height'):
+        voxel_world.load_world_cache(str(tmp_path / 'w0'),
+                                     crop_height=(sky - gnd) - 1)
+
 
 def test_camera_samplers_and_dda(small_world):
     _, world = small_world
