@@ -144,6 +144,10 @@ def _corner_bits(d):
 # = 58% of the fine-level backward; the sentinel path replaces it with
 # one cheap 2-operand sort).
 SEGSUM_MODE = os.environ.get('SCENEDREAMER_SEGSUM', 'sentinel')
+# Pack pairs of 16-bit payload columns into u32 sort operands (sort
+# cost scales with operand count; the packed values are bit-identical
+# after the round trip). Applies only when the payload dtype is 16-bit.
+SEGSUM_PACK = os.environ.get('SCENEDREAMER_SEGSUM_PACK', '1') == '1'
 
 
 def segment_sum_sorted(upd, idx, num_segments):
@@ -172,11 +176,27 @@ def segment_sum_sorted(upd, idx, num_segments):
         keys = jnp.concatenate(
             [idx, jnp.arange(s, dtype=idx.dtype)])
         orig = jnp.arange(m + s, dtype=jnp.int32)
-        cols = [jnp.concatenate(
-            [upd[:, c], jnp.zeros((s,), upd.dtype)]) for c in range(ch)]
+        packed = (SEGSUM_PACK and upd.dtype.itemsize == 2
+                  and ch % 2 == 0 and ch >= 2)
+        if packed:
+            # bitcast bf16 pairs -> u32 halves the sort operand count;
+            # the sort only permutes rows, so the round trip is
+            # bit-identical to sorting the bf16 columns directly
+            rows = jnp.concatenate(
+                [upd, jnp.zeros((s, ch), upd.dtype)], axis=0)
+            u32 = jax.lax.bitcast_convert_type(
+                rows.reshape(m + s, ch // 2, 2), jnp.uint32)
+            cols = [u32[:, c] for c in range(ch // 2)]
+        else:
+            cols = [jnp.concatenate(
+                [upd[:, c], jnp.zeros((s,), upd.dtype)])
+                for c in range(ch)]
         ops = jax.lax.sort([keys, orig] + cols, num_keys=1)
         so = ops[1]
-        su = jnp.stack(ops[2:], axis=-1)                    # [m+s, ch]
+        su = jnp.stack(ops[2:], axis=-1)             # [m+s, ch or ch/2]
+        if packed:
+            su = jax.lax.bitcast_convert_type(
+                su, upd.dtype).reshape(m + s, ch)
         c = jnp.cumsum(su.astype(jnp.float32), axis=0)      # inclusive
         # invert the sort permutation: rank[k] = sorted position of
         # input row k; rows m..m+s-1 are the sentinels in r order

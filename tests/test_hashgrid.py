@@ -345,3 +345,21 @@ def test_xor_bake_blocked_matches_gather_fwd_bwd(rng, monkeypatch):
         outs[mode] = (np.asarray(out), np.asarray(gt), np.asarray(gw))
     for a, b in zip(outs['gather'], outs['blocked']):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_segment_sum_packed_bitexact_vs_unpacked(rng, monkeypatch):
+    """u32-packed bf16 sort payloads produce bit-identical segment sums
+    to the unpacked bf16 path, including odd channel counts (no pack)."""
+    from scenedreamer_tpu.ops import hashgrid as hg
+    for m, s, ch in ((5000, 128, 8), (700, 64, 2), (301, 32, 3)):
+        idx = jnp.asarray(rng.integers(0, s, m), jnp.int32)
+        upd = jnp.asarray(
+            rng.normal(size=(m, ch)).astype(np.float32)).astype(
+                jnp.bfloat16)
+        outs = {}
+        for pack in (False, True):
+            monkeypatch.setattr(hg, 'SEGSUM_PACK', pack)
+            outs[pack] = np.asarray(
+                hg.segment_sum_sorted(upd, idx, s).astype(jnp.float32))
+        np.testing.assert_array_equal(outs[False], outs[True],
+                                      err_msg=f'{m}x{s}x{ch}')
