@@ -134,3 +134,62 @@ def test_tree_asset_extraction():
     out = convert.extract_tree_assets({'assets': trees})
     assert len(out) == 2
     assert all(t.dtype == np.int32 for t in out)
+
+
+def test_vgg19_converter_parity():
+    """`convert_torch_vgg19` vs a torch forward over a state dict laid
+    out exactly like `torchvision.models.vgg19().features` (the tensor
+    the reference perceptual loss downloads,
+    `imaginaire/losses/perceptual.py:16-150`): conv indices
+    0,2,5,7,10,...,34 with MaxPool slots at 4/9/18/27. torchvision is
+    not in this image, so the layout is constructed explicitly and the
+    forward composed functionally -- same keys, same layouts."""
+    import pytest
+    torch = pytest.importorskip('torch')
+    import torch.nn.functional as F
+    from scenedreamer_tpu.models import vgg
+
+    rng = np.random.default_rng(1)
+    sd = {}
+    torch_layers = []
+    idx, in_ch = 0, 3
+    for name, ch, pool in vgg._VGG19_CFG:
+        if pool:
+            torch_layers.append(('pool', None))
+            idx += 1
+        w = (rng.normal(size=(ch, in_ch, 3, 3)) / np.sqrt(9 * in_ch))
+        b = rng.normal(size=(ch,)) * 0.1
+        sd[f'features.{idx}.weight'] = w.astype(np.float32)
+        sd[f'features.{idx}.bias'] = b.astype(np.float32)
+        torch_layers.append(('conv', (name, sd[f'features.{idx}.weight'],
+                                      sd[f'features.{idx}.bias'])))
+        idx += 2
+        in_ch = ch
+    # torchvision vgg19 features end at index 36 (final MaxPool); the
+    # last conv must be 34 for the converter's index walk to be right.
+    assert idx - 2 == 34
+
+    x = rng.uniform(-1, 1, size=(2, 32, 32, 3)).astype(np.float32)
+    taps = ('relu_1_1', 'relu_3_1', 'relu_4_1', 'relu_5_1')
+    xn = np.asarray(vgg.imagenet_normalize(x))
+
+    xt = torch.from_numpy(xn.transpose(0, 3, 1, 2))
+    ref = {}
+    with torch.no_grad():
+        for kind, payload in torch_layers:
+            if kind == 'pool':
+                xt = F.max_pool2d(xt, 2, 2)
+                continue
+            name, w, b = payload
+            xt = F.relu(F.conv2d(xt, torch.from_numpy(w),
+                                 torch.from_numpy(b), padding=1))
+            if name in taps:
+                ref[name] = xt.numpy().transpose(0, 2, 3, 1)
+
+    model = vgg.VGG19Features(layers=taps)
+    params = convert.convert_vgg19(sd)
+    ours = model.apply(params, jnp.asarray(xn))
+    assert set(ours) == set(taps)
+    for k in taps:
+        np.testing.assert_allclose(np.asarray(ours[k]), ref[k],
+                                   rtol=2e-4, atol=2e-4)
