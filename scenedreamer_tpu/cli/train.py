@@ -234,6 +234,15 @@ def main(argv=None):
     p.add_argument('--platform', default=None,
                    help="force a jax platform (e.g. 'cpu'); with cpu, "
                         'JAX_NUM_CPU_DEVICES controls the device count')
+    p.add_argument('--profile', action='store_true',
+                   help='export a device trace of iterations 2-4 to '
+                        '<logdir>/trace (the per-iteration profiler + '
+                        'Chrome trace of reference train.py:129-151; '
+                        'post-compile window because tracing the XLA '
+                        'compile itself is noise)')
+    p.add_argument('--speed-benchmark', action='store_true',
+                   help='per-phase wall timers with device sync '
+                        '(trainers/base.py:876-940 speed_benchmark)')
     a = p.parse_args(argv)
 
     if a.platform:
@@ -293,24 +302,49 @@ def main(argv=None):
              for _ in range(a.batch_size)]
     trainer.voxel_dims = tuple(int(d) for d in world[0].voxel.shape)
 
+    from contextlib import nullcontext
+    from scenedreamer_tpu.utils.profiling import PhaseTimer
+    timer = PhaseTimer() if a.speed_benchmark else None
+
+    def _ph(name):
+        return timer.phase(name) if timer else nullcontext({})
+
+    profile_window = (2, 4) if a.profile else None
+    trace_on = {'flag': False}
+
+    def _stop_trace():
+        if trace_on['flag']:
+            jax.profiler.stop_trace()
+            trace_on['flag'] = False
+            print(f'[train] device trace written to '
+                  f"{os.path.join(logdir, 'trace')}")
+
     state = None
     it = 0
     t0 = time.time()
     for epoch in range(max_epoch):
         loader.set_epoch(epoch)
         for data_np in loader:
+            if profile_window and it == profile_window[0] \
+                    and not trace_on['flag']:
+                jax.profiler.start_trace(os.path.join(logdir, 'trace'))
+                trace_on['flag'] = True
             # the reference resamples the PCG world every iteration
             # (`scenedreamer.py:88` sample_world in _get_batch); with
             # batch > 1 each element gets its OWN world — the analog of
             # one world per DDP rank. --world-switch-every N amortizes
             # the host densify for demo runs.
             if it > 0 and it % max(1, a.world_switch_every) == 0:
-                world = [world_cache.sample_world(rng=_RandomAdapter(rng))
-                         for _ in range(a.batch_size)]
+                with _ph('world_sample'):
+                    world = [world_cache.sample_world(
+                        rng=_RandomAdapter(rng))
+                        for _ in range(a.batch_size)]
             key, k_batch, k_step = jax.random.split(key, 3)
             data = {k: jax.numpy.asarray(v) for k, v in data_np.items()
                     if k in ('images', 'label')}
-            batch = builder(data, world, rng, k_batch)
+            with _ph('batch_build') as box:
+                batch = builder(data, world, rng, k_batch)
+                box['out'] = batch
             if mesh is not None:
                 batch = pm.shard_batch(mesh, batch)
             if state is None:
@@ -327,7 +361,12 @@ def main(argv=None):
                         it = int(state.step)
                         print(f'[train] resumed at iteration {it} '
                               f'from {resume_dir}')
-            state, metrics = trainer.train_step(state, batch, k_step)
+            with _ph('train_step') as box:
+                state, metrics = trainer.train_step(state, batch, k_step)
+                box['out'] = metrics
+            if trace_on['flag'] and it == profile_window[1]:
+                jax.block_until_ready(metrics)
+                _stop_trace()
             it += 1
             for k, v in metrics.items():
                 writer.meter(k).write(float(v))
@@ -339,6 +378,11 @@ def main(argv=None):
                       f'({logging_iter / dt:.2f} it/s) '
                       f"G {float(metrics['gen/total']):.3f} "
                       f"D {float(metrics['dis/total']):.3f}")
+                if timer is not None:
+                    print('[speed_benchmark]\n' + timer.report())
+                    for name, mean_s in timer.means().items():
+                        writer.scalar(f'speed/{name}_ms', mean_s * 1e3,
+                                      it)
                 t0 = time.time()
             if it % snapshot_save_iter == 0 \
                     and jax.process_index() == 0:
@@ -348,6 +392,7 @@ def main(argv=None):
                                       k_step, it)
             if stop_requested['flag']:
                 print('[train] termination requested - checkpointing')
+                _stop_trace()
                 if jax.process_index() == 0 and state is not None:
                     save_checkpoint(ckpt_dir, state)
                 writer.close()
@@ -359,6 +404,7 @@ def main(argv=None):
         if (epoch + 1) % snapshot_save_epoch == 0 \
                 and jax.process_index() == 0 and state is not None:
             save_checkpoint(ckpt_dir, state)
+    _stop_trace()
     if jax.process_index() == 0 and state is not None:
         save_checkpoint(ckpt_dir, state)
         print(f'[train] done at iteration {it}; checkpoints in '
