@@ -74,17 +74,20 @@ def build():
     from scenedreamer_tpu.scene import camera as cam
 
     dtype = jnp.bfloat16 if AMP else jnp.float32
+    variant = os.environ.get('BENCH_HASH_VARIANT', 'xor')
     if TINY:
         cfg = GeneratorConfig(
             num_samples=NUM_SAMPLES, num_blocks_early_stop=MAX_INTERVALS,
             pad=PAD, style_dims=16, interm_style_dims=32,
             final_feat_dim=8, hash_num_levels=4, hash_level_dim=4,
             hash_log2_size=10, hash_desired_resolution=128,
-            mlp_hidden=32, style_enc_num_filters=8, dtype=dtype)
+            mlp_hidden=32, style_enc_num_filters=8, dtype=dtype,
+            hash_variant=variant)
     else:
         cfg = GeneratorConfig(num_samples=NUM_SAMPLES,
                               num_blocks_early_stop=MAX_INTERVALS,
-                              pad=PAD, dtype=dtype)
+                              pad=PAD, dtype=dtype,
+                              hash_variant=variant)
     world = make_world(size=SCENE, seed=42)
     _log(f'world built {world.dims}')
     model = SceneDreamerGenerator(cfg=cfg)

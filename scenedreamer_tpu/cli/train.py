@@ -73,6 +73,7 @@ def build_everything(cfg, args):
         hash_log2_size=int(gen_cfg.get('hash_log2_size', 19)),
         hash_desired_resolution=int(gen_cfg.get('hash_desired_resolution',
                                                 2048)),
+        hash_variant=str(gen_cfg.get('hash_variant', 'xor')),
         mlp_hidden=int(gen_cfg.get('mlp_hidden', 256)),
         style_enc_num_filters=int(
             gen_cfg.get('style_enc', {}).get('num_filters', 64)),

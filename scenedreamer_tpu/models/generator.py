@@ -72,6 +72,11 @@ class GeneratorConfig:
     hash_base_resolution: int = 16
     hash_log2_size: int = 19
     hash_desired_resolution: int = 2048
+    # 'xor' = reference-compatible fast_hash (required for converted
+    # torch checkpoints); 'paired' = ADD-combine adjacency hash (slice-2
+    # gathers + shift fold; train-from-scratch perf option — see
+    # HashGridSpec.hash_variant)
+    hash_variant: str = 'xor'
     # mlp
     mlp_hidden: int = 256
     use_seg: bool = True
@@ -88,7 +93,8 @@ class GeneratorConfig:
             level_dim=self.hash_level_dim,
             base_resolution=self.hash_base_resolution,
             log2_hashmap_size=self.hash_log2_size,
-            desired_resolution=self.hash_desired_resolution)
+            desired_resolution=self.hash_desired_resolution,
+            hash_variant=self.hash_variant)
 
     @property
     def viewdir_dim(self):

@@ -81,18 +81,33 @@ class HashGridSpec:
     per_level_scale: float = 2.0
     gridtype: str = 'hash'          # 'hash' | 'tiled'
     align_corners: bool = False
+    # 'xor'    = the reference fast_hash (xor of per-dim prime
+    #            products, cu:35-51) — required for converted reference
+    #            checkpoints (table slots must match).
+    # 'paired' = ADD combine (h = sum_d c_d * P_d mod 2^32, P_0 = 1):
+    #            the two dim-0 corners of every interpolation cell land
+    #            in ADJACENT slots, so the hot gather fetches 2^(D-1)
+    #            two-row slices instead of 2^D rows (the fine-level
+    #            gather is row-transaction bound, PERF.md), the scene
+    #            fold becomes a cyclic shift, and the backward sort
+    #            carries half the rows at double width. Training-from-
+    #            scratch option; same collision character as the
+    #            reference (its dim-0 prime is already 1/linear).
+    hash_variant: str = 'xor'
 
     @staticmethod
     def create(input_dim=3, num_levels=16, level_dim=2, base_resolution=16,
                log2_hashmap_size=19, desired_resolution=None,
-               per_level_scale=2.0, gridtype='hash', align_corners=False):
+               per_level_scale=2.0, gridtype='hash', align_corners=False,
+               hash_variant='xor'):
         if desired_resolution is not None:
             per_level_scale = float(np.exp2(
                 np.log2(desired_resolution / base_resolution)
                 / (num_levels - 1)))
         return HashGridSpec(input_dim, num_levels, level_dim,
                             base_resolution, log2_hashmap_size,
-                            float(per_level_scale), gridtype, align_corners)
+                            float(per_level_scale), gridtype, align_corners,
+                            hash_variant)
 
     @property
     def max_params(self):
@@ -134,6 +149,23 @@ def init_hashgrid_table(key, spec, dtype=jnp.float32):
 def _corner_bits(d):
     idx = np.arange(2 ** d, dtype=np.uint32)
     return ((idx[:, None] >> np.arange(d, dtype=np.uint32)[None, :]) & 1)
+
+
+def _combine_hash(variant, corner, primes):
+    """corner [..., D] uint32 -> uint32 hash (pre-mask).
+
+    'xor' = the reference fast_hash (cu:35-51); 'paired' = ADD combine
+    (see HashGridSpec.hash_variant): both wrap mod 2^32, both keep
+    dim 0 linear (prime 1)."""
+    d = corner.shape[-1]
+    h = jnp.zeros(corner.shape[:-1], jnp.uint32)
+    if variant == 'paired':
+        for dd in range(d):
+            h = h + corner[..., dd] * primes[dd]
+        return h
+    for dd in range(d):
+        h = h ^ (corner[..., dd] * primes[dd])
+    return h
 
 
 # Segment-boundary strategy inside `segment_sum_sorted`. 'sentinel'
@@ -268,6 +300,60 @@ def gather_interp(tl, idx, w):
     return _gather_interp_impl(tl.shape[0], tl, idx, w)
 
 
+def _paired_vals(tl, base):
+    """Fetch row pairs (base, base+1 mod S) as [N, K, 2, C] via ONE
+    slice-size-2 gather from the cyclically-extended table (row S is a
+    copy of row 0, so base = S-1 wraps without a select)."""
+    s, c = tl.shape
+    ext = jnp.concatenate([tl, tl[:1]], axis=0).astype(GATHER_DTYPE)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    vals = jax.lax.gather(
+        ext, base.reshape(-1, 1), dn, slice_sizes=(2, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return vals.reshape(base.shape[0], base.shape[1], 2, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _paired_gather_interp_impl(rows, tl, base, w):
+    vals = _paired_vals(tl, base)
+    return jnp.einsum('nkj,nkjc->nc', w.astype(vals.dtype), vals)
+
+
+def _paired_gather_interp_fwd(rows, tl, base, w):
+    vals = _paired_vals(tl, base)
+    out = jnp.einsum('nkj,nkjc->nc', w.astype(vals.dtype), vals)
+    return out, (vals, base.reshape(-1), w)
+
+
+def _paired_gather_interp_bwd(rows, res, g):
+    vals, base_flat, w = res
+    c = vals.shape[-1]
+    dw = jnp.einsum('nc,nkjc->nkj', g, vals).astype(w.dtype)
+    # per-pair payload: [w0*g | w1*g] (2C wide) keyed by the pair BASE —
+    # half the sorted rows of the per-corner form at double width
+    upd = (w[..., None] * g[:, None, None, :]) \
+        .reshape(-1, 2 * c)                              # [N*K, 2C]
+    pair = segment_sum_sorted(upd.astype(SORT_PAYLOAD_DTYPE),
+                              base_flat, rows).astype(jnp.float32)
+    # slot r takes the even half of pairs based at r and the odd half
+    # of pairs based at r-1; roll(+1) realizes the cyclic wrap
+    dtl = pair[:, :c] + jnp.roll(pair[:, c:], 1, axis=0)
+    return dtl.astype(w.dtype), None, dw
+
+
+_paired_gather_interp_impl.defvjp(_paired_gather_interp_fwd,
+                                  _paired_gather_interp_bwd)
+
+
+def paired_gather_interp(tl, base, w):
+    """out[n] = sum_k sum_j w[n,k,j] * tl[(base[n,k]+j) mod S] — the
+    paired-variant inner op: K two-row slices per point instead of 2K
+    row gathers; table gradient via a half-row-count segment sum."""
+    return _paired_gather_interp_impl(tl.shape[0], tl, base, w)
+
+
 def _level_encode(spec, table_level, x, level):
     """Encode one level. x: [N, D] in [0,1]. Returns [N, C]."""
     d = spec.input_dim
@@ -302,10 +388,8 @@ def _level_encode(spec, table_level, x, level):
     if stride > np.uint64(hashmap_size):
         overflow = True
     if spec.gridtype == 'hash' and overflow:
-        h = jnp.zeros(corner.shape[:-1], jnp.uint32)
-        for dd in range(d):
-            h = h ^ (corner[..., dd] * jnp.uint32(_PRIMES[dd]))
-        idx = h
+        idx = _combine_hash(spec.hash_variant, corner,
+                            jnp.asarray(_PRIMES[:d], jnp.uint32))
     idx = (idx % jnp.uint32(hashmap_size)).astype(jnp.int32)
 
     return gather_interp(table_level, idx, w)
@@ -351,9 +435,7 @@ def _encode_flat_scan(spec, table, x01):
         w = jnp.where(bits_j[None].astype(bool), frac[:, None, :],
                       1.0 - frac[:, None, :])
         w = jnp.prod(w, axis=-1)                              # [N, 2^D]
-        h = jnp.zeros(corner.shape[:-1], jnp.uint32)
-        for dd in range(d):
-            h = h ^ (corner[..., dd] * primes[dd])
+        h = _combine_hash(spec.hash_variant, corner, primes)
         idx = (h % jnp.uint32(size)).astype(jnp.int32)
         out_l = gather_interp(tl, idx, w)
         return carry, out_l
@@ -449,8 +531,47 @@ def _xor_bake_bwd(res, g):
 _xor_bake.defvjp(_xor_bake_fwd, _xor_bake_bwd)
 
 
+def _shift_take(x, m):
+    """out[j] = x[(j + m) mod S] — a cyclic shift (contiguous block
+    copies at HBM bandwidth; no butterfly needed)."""
+    return jnp.roll(x, -m.astype(jnp.int32), axis=0)
+
+
+@jax.custom_vjp
+def _shift_bake(tl, shifts, w):
+    """baked[j] = sum_a w[a] * tl[(j + shifts[a]) mod S] — the paired-
+    variant scene fold: with the ADD-combine hash the scene-corner
+    contributions are additive offsets, so the bake is a blend of
+    cyclic shifts (cheaper than the xor butterfly, and it preserves
+    row adjacency so the paired gather stays valid on the baked
+    table)."""
+    out = jnp.zeros_like(tl)
+    for a in range(shifts.shape[0]):
+        out = out + w[a] * _shift_take(tl, shifts[a])
+    return out
+
+
+def _shift_bake_fwd(tl, shifts, w):
+    return _shift_bake(tl, shifts, w), (tl, shifts, w)
+
+
+def _shift_bake_bwd(res, g):
+    tl, shifts, w = res
+    d_tl = jnp.zeros_like(tl)
+    d_w = []
+    for a in range(shifts.shape[0]):
+        # d_tl[k] = sum_a w[a] * g[(k - m_a) mod S]  (inverse shift)
+        ga = jnp.roll(g, shifts[a].astype(jnp.int32), axis=0)
+        d_tl = d_tl + w[a] * ga
+        d_w.append(jnp.sum(tl * ga))
+    return d_tl, None, jnp.stack(d_w).astype(w.dtype)
+
+
+_shift_bake.defvjp(_shift_bake_fwd, _shift_bake_bwd)
+
+
 @functools.lru_cache(maxsize=32)
-def _dense_remap_consts(size, side_max, sides, primes):
+def _dense_remap_consts(size, side_max, sides, primes, variant='xor'):
     """Trace-time constants mapping the dense corner-cell space of each
     coarse level into hash-table slots.
 
@@ -470,9 +591,14 @@ def _dense_remap_consts(size, side_max, sides, primes):
     z = j % sm
     perms, starts, ends = [], [], []
     for side in sides:
-        h = ((x.astype(np.uint32) * np.uint32(primes[0]))
-             ^ (y.astype(np.uint32) * np.uint32(primes[1]))
-             ^ (z.astype(np.uint32) * np.uint32(primes[2])))
+        if variant == 'paired':
+            h = (x.astype(np.uint32) * np.uint32(primes[0])
+                 + y.astype(np.uint32) * np.uint32(primes[1])
+                 + z.astype(np.uint32) * np.uint32(primes[2]))
+        else:
+            h = ((x.astype(np.uint32) * np.uint32(primes[0]))
+                 ^ (y.astype(np.uint32) * np.uint32(primes[1]))
+                 ^ (z.astype(np.uint32) * np.uint32(primes[2])))
         h = (h & np.uint32(size - 1)).astype(np.int64)
         valid = (x < side) & (y < side) & (z < side)
         h = np.where(valid, h, size)              # sentinel: drop row
@@ -491,14 +617,13 @@ _SPLAT_DTYPE = jnp.bfloat16 if os.environ.get(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _splat_interp(static, tl, pos_grid, frac, perm, start, end):
-    size, side_max = static
     return _splat_gather(static, tl, pos_grid, frac)
 
 
 def _splat_gather(static, tl, pos_grid, frac):
     """Forward: identical math to `gather_interp` (hash + 2^3 corner
     gathers); only the VJP differs."""
-    size, _ = static
+    size, _, variant = static
     d = pos_grid.shape[-1]
     bits = jnp.asarray(_corner_bits(d), jnp.int32)
     primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
@@ -506,9 +631,7 @@ def _splat_gather(static, tl, pos_grid, frac):
     w = jnp.where(bits[None].astype(bool), frac[:, None, :],
                   1.0 - frac[:, None, :])
     w = jnp.prod(w, axis=-1)
-    h = jnp.zeros(corner.shape[:-1], jnp.uint32)
-    for dd in range(d):
-        h = h ^ (corner[..., dd].astype(jnp.uint32) * primes[dd])
+    h = _combine_hash(variant, corner.astype(jnp.uint32), primes)
     idx = (h & jnp.uint32(size - 1)).astype(jnp.int32)
     vals = jnp.take(tl.astype(GATHER_DTYPE), idx, axis=0)
     return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
@@ -538,7 +661,7 @@ def _splat_bwd(static, res, g):
     ray depths, but the op is public and must not silently drop input
     gradients on coarse levels only.
     """
-    size, sm = static
+    size, sm, variant = static
     tl, pos_grid, frac, perm, start, end = res
     n, c = g.shape
     sd = _SPLAT_DTYPE
@@ -596,9 +719,7 @@ def _splat_bwd(static, res, g):
     bits = jnp.asarray(_corner_bits(d), jnp.int32)
     primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
     corner = pos_grid[:, None, :] + bits[None]
-    h = jnp.zeros(corner.shape[:-1], jnp.uint32)
-    for dd in range(d):
-        h = h ^ (corner[..., dd].astype(jnp.uint32) * primes[dd])
+    h = _combine_hash(variant, corner.astype(jnp.uint32), primes)
     idx = (h & jnp.uint32(size - 1)).astype(jnp.int32)
     vals = jnp.take(tl, idx, axis=0)                      # [N, K, C]
     gv = jnp.einsum('nc,nkc->nk', g, vals)                # [N, K]
@@ -666,8 +787,18 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
     oob = jnp.any((x01 < 0.0) | (x01 > 1.0), axis=-1, keepdims=True) \
         | jnp.any((s01 < 0.0) | (s01 > 1.0))
 
+    variant = spec.hash_variant
+    paired = variant == 'paired'
+    # corner combos over the NON-paired spatial dims (1..dp-1): with the
+    # ADD-combine hash the two dim-0 corners are (base, base+1 mod S)
+    bits_r = jnp.asarray(_corner_bits(dp - 1), jnp.uint32) if paired \
+        else None
+
     def bake(tl, scale):
-        """Scene corners -> xor masks + blend weights -> baked table."""
+        """Scene corners -> fold masks + blend weights -> baked table.
+        'xor': xor-permutation blend; 'paired': cyclic-shift blend
+        (both exact; the shift keeps row adjacency for the paired
+        gather)."""
         spos = s01 * scale + offset
         sgrid = jnp.floor(spos)
         sfrac = spos - sgrid
@@ -675,10 +806,9 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
         ws = jnp.where(bits_s.astype(bool), sfrac[None, :],
                        1.0 - sfrac[None, :])
         ws = jnp.prod(ws, axis=-1)                            # [2^Ds]
-        masks = jnp.zeros((bits_s.shape[0],), jnp.uint32)
-        for dd in range(ds):
-            masks = masks ^ (scorner[:, dd] * primes_s[dd])
-        masks = masks & mask
+        masks = _combine_hash(variant, scorner, primes_s) & mask
+        if paired:
+            return _shift_bake(tl, masks, ws)
         return _xor_bake(tl, masks, ws)
 
     def body(carry, inp):
@@ -688,13 +818,26 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
         pos = x01 * scale + offset
         pg = jnp.floor(pos)
         frac = pos - pg
+        if paired:
+            pgu = pg.astype(jnp.uint32)
+            # base index of each (dim1.., dimK) corner combo: the two
+            # dim-0 corners are the row pair (base, base+1)
+            rest = pgu[:, None, 1:] + bits_r[None]        # [N, 2^(Dp-1), Dp-1]
+            h = pgu[:, None, 0] + _combine_hash(
+                variant, rest, primes_p[1:])
+            base = (h & mask).astype(jnp.int32)           # [N, 2^(Dp-1)]
+            wr = jnp.where(bits_r[None].astype(bool),
+                           frac[:, None, 1:], 1.0 - frac[:, None, 1:])
+            wr = jnp.prod(wr, axis=-1)                    # [N, 2^(Dp-1)]
+            wx = jnp.stack([1.0 - frac[:, 0], frac[:, 0]], axis=-1)
+            w = wr[..., None] * wx[:, None, :]            # [N, K, 2]
+            out_l = paired_gather_interp(baked, base, w)
+            return carry, out_l
         corner = pg.astype(jnp.uint32)[:, None, :] + bits_p[None]
         w = jnp.where(bits_p[None].astype(bool), frac[:, None, :],
                       1.0 - frac[:, None, :])
         w = jnp.prod(w, axis=-1)                              # [N, 2^Dp]
-        h = jnp.zeros(corner.shape[:-1], jnp.uint32)
-        for dd in range(dp):
-            h = h ^ (corner[..., dd] * primes_p[dd])
+        h = _combine_hash(variant, corner, primes_p)
         idx = (h & mask).astype(jnp.int32)
         out_l = gather_interp(baked, idx, w)
         return carry, out_l
@@ -721,7 +864,7 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
             pos = x01 * scale + offset
             pg = jnp.floor(pos)
             frac = pos - pg
-            out_l = _splat_interp((size, sm), baked,
+            out_l = _splat_interp((size, sm, variant), baked,
                                   pg.astype(jnp.int32), frac, perm,
                                   start, end)
             return carry, out_l
@@ -732,7 +875,7 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
         sm = sides[hi - 1]
         perm, start, end = _dense_remap_consts(
             size, sm, tuple(sides[lo:hi]),
-            tuple(int(p) for p in _PRIMES[:dp]))
+            tuple(int(p) for p in _PRIMES[:dp]), variant)
         bdy = make_body(sm)
         if hi - lo == 1:
             _, o = bdy(None, (table3[lo], scales[lo],

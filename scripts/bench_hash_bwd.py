@@ -24,7 +24,9 @@ def run(n, dense_side, reps=3):
     hg.DENSE_BWD_MAX_SIDE = dense_side
     spec = hg.HashGridSpec.create(input_dim=5, num_levels=16, level_dim=8,
                                   log2_hashmap_size=19,
-                                  desired_resolution=2048)
+                                  desired_resolution=2048,
+                                  hash_variant=os.environ.get(
+                                      'SCENEDREAMER_HASH_VARIANT', 'xor'))
     table = hg.init_hashgrid_table(jax.random.PRNGKey(0), spec)
     xyz = jax.random.uniform(jax.random.PRNGKey(1), (n, 3),
                              minval=-0.8, maxval=0.8)

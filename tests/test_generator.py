@@ -96,3 +96,25 @@ def test_generator_gradients_flow(tiny_batch):
                 'world_encoder', 'denoiser'):
         total = sum(v for p, v in leaves.items() if sub in str(p))
         assert total > 0, f'no gradient reached {sub}'
+
+
+def test_generator_forward_paired_hash(tiny_batch):
+    """End-to-end generator forward + grads with hash_variant='paired'
+    (the slice-2-gather ADD-combine hash, ops/hashgrid.py)."""
+    import dataclasses
+    world, data = tiny_batch
+    cfg = dataclasses.replace(TINY, hash_variant='paired')
+    model = SceneDreamerGenerator(cfg=cfg)
+    key = jax.random.PRNGKey(0)
+    params = model.init({'params': key}, data, world.dims, key,
+                        random_style=True)
+    out = model.apply(params, data, world.dims, key, random_style=True)
+    assert out['fake_images'].shape == (2, 18, 18, 3)
+    assert np.isfinite(np.asarray(out['fake_images'])).all()
+
+    g = jax.grad(lambda p: jnp.sum(model.apply(
+        p, data, world.dims, key, random_style=True)['fake_images'] ** 2)
+    )(params)
+    gt = g['params']['hash_table']
+    assert float(jnp.abs(gt).sum()) > 0
+    assert np.isfinite(np.asarray(gt)).all()

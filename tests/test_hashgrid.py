@@ -47,8 +47,12 @@ def oracle_encode(spec, table, x01):
                 if spec.gridtype == 'hash' and stride > np.uint64(hsize):
                     h = np.uint64(0)
                     for dd in range(d):
-                        h ^= np.uint64(
+                        p = np.uint64(
                             (pc[dd] * PRIMES[dd]) & np.uint64(0xFFFFFFFF))
+                        if spec.hash_variant == 'paired':
+                            h = (h + p) & np.uint64(0xFFFFFFFF)
+                        else:
+                            h ^= p
                     idx = h & np.uint64(0xFFFFFFFF)
                 acc += w * tl[int(idx % np.uint64(hsize))]
             out[i, lv] = acc
@@ -363,3 +367,111 @@ def test_segment_sum_packed_bitexact_vs_unpacked(rng, monkeypatch):
                 hg.segment_sum_sorted(upd, idx, s).astype(jnp.float32))
         np.testing.assert_array_equal(outs[False], outs[True],
                                       err_msg=f'{m}x{s}x{ch}')
+
+
+def test_paired_variant_matches_oracle_5d(rng):
+    """hash_variant='paired' (ADD-combine, adjacency-pairing hash) on
+    the standard encode path vs the numpy oracle."""
+    spec = HashGridSpec.create(input_dim=5, num_levels=3, level_dim=4,
+                               base_resolution=16, log2_hashmap_size=10,
+                               desired_resolution=64,
+                               hash_variant='paired')
+    table = np.asarray(init_hashgrid_table(jax.random.PRNGKey(1), spec))
+    x = rng.random((16, 5)).astype(np.float32) * 2 - 1
+    out = np.asarray(hashgrid_encode(spec, jnp.asarray(table),
+                                     jnp.asarray(x)))
+    expected = oracle_encode(spec, table, (x + 1) / 2)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_paired_folded_matches_standard():
+    """The paired fast path (slice-2 gathers + shift bake + half-row
+    segment-sum backward) == the standard encode under the SAME paired
+    hash, values AND gradients."""
+    from scenedreamer_tpu.ops import hashgrid as hg
+    spec = hg.HashGridSpec.create(input_dim=5, num_levels=4, level_dim=2,
+                                  log2_hashmap_size=10,
+                                  desired_resolution=256,
+                                  hash_variant='paired')
+    assert hg.foldable(spec, 2)
+    table = hg.init_hashgrid_table(jax.random.PRNGKey(0), spec)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (400, 3),
+                             minval=-0.95, maxval=0.95)
+    scene = jnp.asarray([0.3, -0.4])
+    x5 = jnp.concatenate(
+        [xyz, jnp.broadcast_to(scene, (400, 2))], axis=-1)
+    a = hg.hashgrid_encode(spec, table, x5)
+    b = hg.hashgrid_encode_folded(spec, table, xyz, scene)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    ga = jax.grad(lambda t, s: jnp.sum(hg.hashgrid_encode(
+        spec, t, jnp.concatenate(
+            [xyz, jnp.broadcast_to(s, (400, 2))], -1)) ** 2),
+        argnums=(0, 1))(table, scene)
+    gb = jax.grad(lambda t, s: jnp.sum(hg.hashgrid_encode_folded(
+        spec, t, xyz, s) ** 2), argnums=(0, 1))(table, scene)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_paired_gather_interp_grads(rng, monkeypatch):
+    """paired_gather_interp == the plain take formulation of the same
+    op (values + table/weight grads incl. the base = S-1 wrap). f32
+    sort payload: this checks the op's LOGIC at O(1) magnitudes (the
+    default bf16 payload's rounding is exercised by the production-
+    scale tests where table values are O(1e-4))."""
+    from scenedreamer_tpu.ops import hashgrid as hg
+    monkeypatch.setattr(hg, 'SORT_PAYLOAD_DTYPE', jnp.float32)
+    s, c, n, k = 64, 4, 200, 4
+    tl = jnp.asarray(rng.normal(size=(s, c)).astype(np.float32))
+    base = rng.integers(0, s, size=(n, k)).astype(np.int32)
+    base[0, 0] = s - 1        # exercise the cyclic wrap
+    base = jnp.asarray(base)
+    w = jnp.asarray(rng.normal(size=(n, k, 2)).astype(np.float32))
+
+    def ref(tl_, w_):
+        v0 = jnp.take(tl_, base, axis=0)                 # [N,K,C]
+        v1 = jnp.take(tl_, (base + 1) % s, axis=0)
+        return jnp.sum(w_[..., 0, None] * v0 + w_[..., 1, None] * v1,
+                       axis=1)
+
+    out = hg.paired_gather_interp(tl, base, w)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref(tl, w)), atol=1e-5)
+
+    f = lambda tl_, w_: jnp.sum(
+        hg.paired_gather_interp(tl_, base, w_) ** 2)
+    fr = lambda tl_, w_: jnp.sum(ref(tl_, w_) ** 2)
+    g = jax.grad(f, argnums=(0, 1))(tl, w)
+    gr = jax.grad(fr, argnums=(0, 1))(tl, w)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(gr[0]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gr[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_shift_bake_matches_direct(rng):
+    """_shift_bake fwd/bwd == the direct roll formulation."""
+    from scenedreamer_tpu.ops import hashgrid as hg
+    s, c = 32, 3
+    tl = jnp.asarray(rng.normal(size=(s, c)).astype(np.float32))
+    shifts = jnp.asarray(np.array([0, 5, 31, 17], np.uint32))
+    w = jnp.asarray(np.array([0.1, 0.4, 0.3, 0.2], np.float32))
+
+    def ref(tl_, w_):
+        return sum(w_[a] * jnp.roll(tl_, -int(shifts[a]), axis=0)
+                   for a in range(4))
+
+    out = hg._shift_bake(tl, shifts, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(tl, w)),
+                               atol=1e-6)
+    g = jax.grad(lambda t, w_: jnp.sum(
+        hg._shift_bake(t, shifts, w_) ** 2), argnums=(0, 1))(tl, w)
+    gr = jax.grad(lambda t, w_: jnp.sum(ref(t, w_) ** 2),
+                  argnums=(0, 1))(tl, w)
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(gr[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gr[1]),
+                               rtol=1e-4, atol=1e-5)
