@@ -304,7 +304,7 @@ def main(argv=None):
     trainer.voxel_dims = tuple(int(d) for d in world[0].voxel.shape)
 
     from contextlib import nullcontext
-    from scenedreamer_tpu.utils.profiling import PhaseTimer
+    from scenedreamer_tpu.utils.profiling import PhaseTimer, host_sync
     timer = PhaseTimer() if a.speed_benchmark else None
 
     def _ph(name):
@@ -322,11 +322,13 @@ def main(argv=None):
 
     state = None
     it = 0
+    steps_run = 0   # iterations executed in THIS process (`it` jumps on
+                    # resume, which would skip the profile window)
     t0 = time.time()
     for epoch in range(max_epoch):
         loader.set_epoch(epoch)
         for data_np in loader:
-            if profile_window and it == profile_window[0] \
+            if profile_window and steps_run == profile_window[0] \
                     and not trace_on['flag']:
                 jax.profiler.start_trace(os.path.join(logdir, 'trace'))
                 trace_on['flag'] = True
@@ -365,10 +367,11 @@ def main(argv=None):
             with _ph('train_step') as box:
                 state, metrics = trainer.train_step(state, batch, k_step)
                 box['out'] = metrics
-            if trace_on['flag'] and it == profile_window[1]:
-                jax.block_until_ready(metrics)
+            if trace_on['flag'] and steps_run == profile_window[1]:
+                host_sync(metrics)
                 _stop_trace()
             it += 1
+            steps_run += 1
             for k, v in metrics.items():
                 writer.meter(k).write(float(v))
             if it % logging_iter == 0:
@@ -384,6 +387,9 @@ def main(argv=None):
                     for name, mean_s in timer.means().items():
                         writer.scalar(f'speed/{name}_ms', mean_s * 1e3,
                                       it)
+                    # per-window means: the first window carries the
+                    # XLA compile; later ones are steady-state
+                    timer.reset()
                 t0 = time.time()
             if it % snapshot_save_iter == 0 \
                     and jax.process_index() == 0:

@@ -324,12 +324,21 @@ def _paired_gather_interp_impl(rows, tl, base, w):
 def _paired_gather_interp_fwd(rows, tl, base, w):
     vals = _paired_vals(tl, base)
     out = jnp.einsum('nkj,nkjc->nc', w.astype(vals.dtype), vals)
-    return out, (vals, base.reshape(-1), w)
+    # residuals saved with LONG minor axes: under the level scan a
+    # stacked residual whose minor axis is 2 would tile-pad 64x if XLA
+    # picks it minor (the CLAUDE.md flat-residual rule)
+    n = base.shape[0]
+    return out, (vals.reshape(n, -1), base.reshape(-1),
+                 w.reshape(n, -1))
 
 
 def _paired_gather_interp_bwd(rows, res, g):
-    vals, base_flat, w = res
-    c = vals.shape[-1]
+    vals_flat, base_flat, w_flat = res
+    n = vals_flat.shape[0]
+    k = w_flat.shape[1] // 2
+    c = vals_flat.shape[1] // (2 * k)
+    vals = vals_flat.reshape(n, k, 2, c)
+    w = w_flat.reshape(n, k, 2)
     dw = jnp.einsum('nc,nkjc->nkj', g, vals).astype(w.dtype)
     # per-pair payload: [w0*g | w1*g] (2C wide) keyed by the pair BASE —
     # half the sorted rows of the per-corner form at double width
@@ -498,76 +507,56 @@ def _xor_take(x, m):
     return out.reshape(s, c)
 
 
-@jax.custom_vjp
-def _xor_bake(tl, masks, w):
-    """baked[j] = sum_a w[a] * tl[j ^ masks[a]] — fold the (shared)
-    scene-corner interpolation into a per-level table permutation blend.
-
-    tl [S, C]; masks [A] uint32; w [A] float. Backward uses the xor
-    self-inverse: d_tl[k] = sum_a w[a] * g[k ^ masks[a]] — gathers only,
-    no scatter."""
-    out = jnp.zeros_like(tl)
-    for a in range(masks.shape[0]):
-        out = out + w[a] * _xor_take(tl, masks[a])
-    return out
-
-
-def _xor_bake_fwd(tl, masks, w):
-    return _xor_bake(tl, masks, w), (tl, masks, w)
-
-
-def _xor_bake_bwd(res, g):
-    tl, masks, w = res
-    d_tl = jnp.zeros_like(tl)
-    d_w = []
-    for a in range(masks.shape[0]):
-        ga = _xor_take(g, masks[a])
-        d_tl = d_tl + w[a] * ga
-        # sum_j tl[j^m]*g[j] == sum_k tl[k]*g[k^m]: reuse the permuted g
-        d_w.append(jnp.sum(tl * ga))
-    return d_tl, None, jnp.stack(d_w).astype(w.dtype)
-
-
-_xor_bake.defvjp(_xor_bake_fwd, _xor_bake_bwd)
-
-
 def _shift_take(x, m):
     """out[j] = x[(j + m) mod S] — a cyclic shift (contiguous block
     copies at HBM bandwidth; no butterfly needed)."""
     return jnp.roll(x, -m.astype(jnp.int32), axis=0)
 
 
-@jax.custom_vjp
-def _shift_bake(tl, shifts, w):
-    """baked[j] = sum_a w[a] * tl[(j + shifts[a]) mod S] — the paired-
-    variant scene fold: with the ADD-combine hash the scene-corner
-    contributions are additive offsets, so the bake is a blend of
-    cyclic shifts (cheaper than the xor butterfly, and it preserves
-    row adjacency so the paired gather stays valid on the baked
-    table)."""
-    out = jnp.zeros_like(tl)
-    for a in range(shifts.shape[0]):
-        out = out + w[a] * _shift_take(tl, shifts[a])
-    return out
+def _inv_shift_take(x, m):
+    """out[k] = x[(k - m) mod S] — the inverse of `_shift_take`."""
+    return jnp.roll(x, m.astype(jnp.int32), axis=0)
 
 
-def _shift_bake_fwd(tl, shifts, w):
-    return _shift_bake(tl, shifts, w), (tl, shifts, w)
+def _make_bake(take, inv_take):
+    """Scene-fold bake: baked[j] = sum_a w[a] * take(tl, m_a)[j], with a
+    custom VJP built from the permutation's inverse (the cotangent is
+    d_tl[k] = sum_a w[a] * g[inv(k, m_a)] — gathers/moves only, never a
+    scatter; d_w[a] reuses the permuted g)."""
+
+    @jax.custom_vjp
+    def bake(tl, masks, w):
+        out = jnp.zeros_like(tl)
+        for a in range(masks.shape[0]):
+            out = out + w[a] * take(tl, masks[a])
+        return out
+
+    def fwd(tl, masks, w):
+        return bake(tl, masks, w), (tl, masks, w)
+
+    def bwd(res, g):
+        tl, masks, w = res
+        d_tl = jnp.zeros_like(tl)
+        d_w = []
+        for a in range(masks.shape[0]):
+            ga = inv_take(g, masks[a])
+            d_tl = d_tl + w[a] * ga
+            d_w.append(jnp.sum(tl * ga))
+        return d_tl, None, jnp.stack(d_w).astype(w.dtype)
+
+    bake.defvjp(fwd, bwd)
+    return bake
 
 
-def _shift_bake_bwd(res, g):
-    tl, shifts, w = res
-    d_tl = jnp.zeros_like(tl)
-    d_w = []
-    for a in range(shifts.shape[0]):
-        # d_tl[k] = sum_a w[a] * g[(k - m_a) mod S]  (inverse shift)
-        ga = jnp.roll(g, shifts[a].astype(jnp.int32), axis=0)
-        d_tl = d_tl + w[a] * ga
-        d_w.append(jnp.sum(tl * ga))
-    return d_tl, None, jnp.stack(d_w).astype(w.dtype)
+# baked[j] = sum_a w[a] * tl[j ^ masks[a]] — the xor-variant scene fold
+# (xor is its own inverse; `_xor_take` does the butterfly decomposition)
+_xor_bake = _make_bake(_xor_take, _xor_take)
 
-
-_shift_bake.defvjp(_shift_bake_fwd, _shift_bake_bwd)
+# baked[j] = sum_a w[a] * tl[(j + shifts[a]) mod S] — the paired-variant
+# scene fold: with the ADD-combine hash the scene-corner contributions
+# are additive offsets, so the bake is a blend of cyclic shifts (cheap,
+# and it preserves the row adjacency the paired gather relies on)
+_shift_bake = _make_bake(_shift_take, _inv_shift_take)
 
 
 @functools.lru_cache(maxsize=32)

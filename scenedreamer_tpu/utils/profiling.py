@@ -12,6 +12,21 @@ import contextlib
 import time
 
 import jax
+import jax.numpy as jnp
+
+
+def host_sync(tree):
+    """Force REAL device completion by fetching one scalar that depends
+    on every leaf. `jax.block_until_ready` can return early over the
+    axon tunnel (~0.1 ms for seconds of work — CLAUDE.md); a value
+    fetch cannot."""
+    acc = None
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, 'dtype'):
+            s = jnp.sum(leaf.astype(jnp.float32))
+            acc = s if acc is None else acc + s
+    if acc is not None:
+        float(acc)
 
 
 @contextlib.contextmanager
@@ -51,10 +66,16 @@ class PhaseTimer:
         finally:
             out = box.get('out', sync)
             if out is not None:
-                jax.block_until_ready(out)
+                host_sync(out)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
+
+    def reset(self):
+        """Start a fresh window (drop accumulated totals — e.g. after a
+        report, so the next window excludes this one's compile time)."""
+        self.totals = {}
+        self.counts = {}
 
     def means(self):
         return {k: self.totals[k] / max(self.counts[k], 1)

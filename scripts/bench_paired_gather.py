@@ -41,9 +41,11 @@ def chain(body):
     def fn(tl, idx):
         def step(i, acc):
             # data dependency: perturb indices by the accumulator's
-            # parity so the chain cannot be CSE'd
+            # parity so the chain cannot be CSE'd. Reduce the FULL
+            # output — a single-element tap would let XLA fold the
+            # slice into the gather and fetch one row instead of N.
             j = (idx + (acc.astype(jnp.int32) & 1)) % (S - 1)
-            return acc + body(tl, j)[0, 0].astype(jnp.float32)
+            return acc + jnp.sum(body(tl, j).astype(jnp.float32))
         return jax.lax.fori_loop(0, CHAIN, step, jnp.float32(0.0))
     return fn
 
