@@ -41,11 +41,12 @@ FOLDED_LEVEL_MODE = os.environ.get('SCENEDREAMER_HASH_LEVEL_MODE', 'scan')
 # tiled (non-hashed) index path (`gridencoder.cu:54-72`). 0 disables.
 DENSE_BWD_MAX_SIDE = int(os.environ.get('SCENEDREAMER_HASH_DENSE_SIDE', '64'))
 # Points per chunk in the splat matmul (bounds the [chunk, side^2]
-# one-hot operand; 0 = single shot). Swept on v5e: 4096 keeps the
-# [chunk, side_max^2] bf16 one-hot in VMEM (the 131072 default
-# materialized a 944 MB operand in HBM and ran the splat at 1.6 TFLOP/s;
-# 4096 is the measured knee: 131072->1.130s, 8192->1.065s, 4096->1.035s,
-# 2048->1.040s isolated encode fwd+bwd).
+# one-hot operand; 0 = single shot). Swept on v5e: 4096 is the measured
+# knee (131072->1.130s, 8192->1.065s, 4096->1.035s, 2048->1.040s
+# isolated encode fwd+bwd) — the 131072 default materialized a 944 MB
+# one-hot in HBM and ran the splat at 1.6 TFLOP/s; at 4096 the 29 MB
+# operand still exceeds the ~16 MB VMEM but XLA can pipeline it in
+# slices instead of round-tripping the whole thing.
 SPLAT_CHUNK = int(os.environ.get('SCENEDREAMER_SPLAT_CHUNK', '4096'))
 # Payload dtype carried through the fine-level sort in the table
 # gradient. bfloat16 halves the sorted bytes; the cumsum still
@@ -363,6 +364,23 @@ def paired_gather_interp(tl, base, w):
     return _paired_gather_interp_impl(tl.shape[0], tl, base, w)
 
 
+def _paired_corner_fetch(tl, mask, pgu, frac, primes):
+    """2^D-corner interpolation under the paired ADD-combine hash: one
+    base per dim-1.. corner combo; the two dim-0 corners ride each
+    two-row slice (requires primes[0] == 1)."""
+    d = pgu.shape[-1]
+    bits_r = jnp.asarray(_corner_bits(d - 1), jnp.uint32)
+    rest = pgu[:, None, 1:] + bits_r[None]        # [N, 2^(D-1), D-1]
+    h = pgu[:, None, 0] + _combine_hash('paired', rest, primes[1:])
+    base = (h & mask).astype(jnp.int32)           # [N, 2^(D-1)]
+    wr = jnp.where(bits_r[None].astype(bool), frac[:, None, 1:],
+                   1.0 - frac[:, None, 1:])
+    wr = jnp.prod(wr, axis=-1)                    # [N, 2^(D-1)]
+    wx = jnp.stack([1.0 - frac[:, 0], frac[:, 0]], axis=-1)
+    w = wr[..., None] * wx[:, None, :]            # [N, K, 2]
+    return paired_gather_interp(tl, base, w)
+
+
 def _level_encode(spec, table_level, x, level):
     """Encode one level. x: [N, D] in [0,1]. Returns [N, C]."""
     d = spec.input_dim
@@ -611,11 +629,15 @@ def _splat_interp(static, tl, pos_grid, frac, perm, start, end):
 
 def _splat_gather(static, tl, pos_grid, frac):
     """Forward: identical math to `gather_interp` (hash + 2^3 corner
-    gathers); only the VJP differs."""
+    gathers, or the paired two-row slices); only the VJP differs."""
     size, _, variant = static
     d = pos_grid.shape[-1]
-    bits = jnp.asarray(_corner_bits(d), jnp.int32)
     primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
+    if variant == 'paired':
+        return _paired_corner_fetch(tl, jnp.uint32(size - 1),
+                                    pos_grid.astype(jnp.uint32), frac,
+                                    primes)
+    bits = jnp.asarray(_corner_bits(d), jnp.int32)
     corner = pos_grid[:, None, :] + bits[None]               # [N, 2^D, D]
     w = jnp.where(bits[None].astype(bool), frac[:, None, :],
                   1.0 - frac[:, None, :])
@@ -778,10 +800,6 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
 
     variant = spec.hash_variant
     paired = variant == 'paired'
-    # corner combos over the NON-paired spatial dims (1..dp-1): with the
-    # ADD-combine hash the two dim-0 corners are (base, base+1 mod S)
-    bits_r = jnp.asarray(_corner_bits(dp - 1), jnp.uint32) if paired \
-        else None
 
     def bake(tl, scale):
         """Scene corners -> fold masks + blend weights -> baked table.
@@ -808,19 +826,9 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
         pg = jnp.floor(pos)
         frac = pos - pg
         if paired:
-            pgu = pg.astype(jnp.uint32)
-            # base index of each (dim1.., dimK) corner combo: the two
-            # dim-0 corners are the row pair (base, base+1)
-            rest = pgu[:, None, 1:] + bits_r[None]        # [N, 2^(Dp-1), Dp-1]
-            h = pgu[:, None, 0] + _combine_hash(
-                variant, rest, primes_p[1:])
-            base = (h & mask).astype(jnp.int32)           # [N, 2^(Dp-1)]
-            wr = jnp.where(bits_r[None].astype(bool),
-                           frac[:, None, 1:], 1.0 - frac[:, None, 1:])
-            wr = jnp.prod(wr, axis=-1)                    # [N, 2^(Dp-1)]
-            wx = jnp.stack([1.0 - frac[:, 0], frac[:, 0]], axis=-1)
-            w = wr[..., None] * wx[:, None, :]            # [N, K, 2]
-            out_l = paired_gather_interp(baked, base, w)
+            out_l = _paired_corner_fetch(baked, mask,
+                                         pg.astype(jnp.uint32), frac,
+                                         primes_p)
             return carry, out_l
         corner = pg.astype(jnp.uint32)[:, None, :] + bits_p[None]
         w = jnp.where(bits_p[None].astype(bool), frac[:, None, :],
