@@ -146,6 +146,58 @@ class TiledRenderer:
         """Raw 128-d style -> intermediate style."""
         return self._style_fn(self.params, style)
 
+    def export_tile(self, z, path=None, platforms=None):
+        """AOT-serialize the per-tile render program (`jax.export`).
+
+        Serving artifact: a versioned StableHLO blob of the jitted tile
+        function at this renderer's fixed shapes — a production server
+        deserializes and calls it with NO retrace/recompile and NO
+        model code on the serving host (the reference has no analog;
+        its tile loop re-runs eager torch per request). `z` is an
+        example intermediate style (`style_z` output) fixing the style
+        shape. Returns the serialized bytes; also written to `path`
+        when given. `platforms` e.g. ('tpu',) or ('tpu', 'cpu').
+        """
+        from jax import export as jexport
+        t = (self.tile + self.pad) if self.tile else None
+        h, w = (t, t) if t and t < max(self.cam_res) else self.cam_res
+
+        def sds(x, dtype=None):
+            x = jnp.asarray(x) if not hasattr(x, 'shape') else x
+            return jax.ShapeDtypeStruct(x.shape, dtype or x.dtype)
+
+        args = (
+            jax.tree_util.tree_map(sds, self.params),
+            jax.ShapeDtypeStruct((1, h, w, self.m), jnp.int32),    # vid
+            jax.ShapeDtypeStruct((1, h, w, self.m, 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, h, w, self.m), jnp.bool_),    # hit
+            jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32),  # raydirs
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),        # cam_ori
+            sds(z),
+            jax.tree_util.tree_map(sds, self.global_enc),
+            jax.ShapeDtypeStruct(                            # sky_avg
+                (1, 1, 1, self.model.cfg.final_feat_dim), jnp.float32),
+            sds(jax.random.PRNGKey(0)),
+        )
+        exp = jexport.export(self._tile_fn,
+                             platforms=platforms)(*args)
+        blob = exp.serialize()
+        if path:
+            with open(path, 'wb') as f:
+                f.write(blob)
+        return blob
+
+    @staticmethod
+    def load_exported(blob_or_path):
+        """Deserialize an `export_tile` artifact -> callable with the
+        tile function's signature."""
+        from jax import export as jexport
+        blob = blob_or_path
+        if isinstance(blob, (str, os.PathLike)):
+            with open(blob, 'rb') as f:
+                blob = f.read()
+        return jexport.deserialize(blob).call
+
     def frame(self, cam_pose, z, key=None, return_aux=False):
         """Render one frame. cam_pose = (ori, dir, up, f_ratio) in world
         coordinates (EvalCameraController convention). With

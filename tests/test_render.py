@@ -110,3 +110,43 @@ def test_mesh_tiled_matches_serial(model_world):
     img_m = r_mesh.frame(pose, z)
     assert img_m.shape == img_s.shape
     np.testing.assert_allclose(img_m, img_s, atol=2e-4)
+
+
+def test_export_tile_round_trip(model_world, tmp_path):
+    """`export_tile` AOT artifact == the live tile function (serving
+    path: serialize -> deserialize -> call with no model code)."""
+    model, params, world = model_world
+    kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
+                  resolution_hw=(32, 48), fov=40.0)
+    r = TiledRenderer(model, params, world, tile_size=16, **kwargs)
+    style = jax.random.normal(jax.random.PRNGKey(5),
+                              (1, TINY.style_dims))
+    z = r.style_z(style)
+
+    path = os.path.join(tmp_path, 'tile.bin')
+    blob = r.export_tile(z, path=path)
+    assert os.path.getsize(path) == len(blob) > 0
+    fn = TiledRenderer.load_exported(path)
+
+    t = r.tile + r.pad
+    rng = np.random.default_rng(0)
+    vid = jnp.asarray(rng.integers(0, 3, (1, t, t, r.m)), jnp.int32)
+    dep = jnp.asarray(
+        np.sort(rng.random((1, t, t, r.m, 2)), axis=-1) * 10 + 1.0,
+        jnp.float32)
+    hit = jnp.asarray(rng.random((1, t, t, r.m)) < 0.7)
+    rd = rng.normal(size=(1, t, t, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    rd = jnp.asarray(rd)
+    ori = jnp.asarray([[32.0, 40.0, 32.0]], jnp.float32)
+    sky = jnp.zeros((1, 1, 1, TINY.final_feat_dim), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    img_a, dep_a = r._tile_fn(r.params, vid, dep, hit, rd, ori, z,
+                              r.global_enc, sky, key)
+    img_b, dep_b = fn(r.params, vid, dep, hit, rd, ori, z,
+                      r.global_enc, sky, key)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dep_a), np.asarray(dep_b),
+                               atol=1e-4)
