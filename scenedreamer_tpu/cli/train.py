@@ -324,6 +324,14 @@ def main(argv=None):
     it = 0
     steps_run = 0   # iterations executed in THIS process (`it` jumps on
                     # resume, which would skip the profile window)
+    pending_metrics = []
+
+    def _flush_pending():
+        for m in pending_metrics:
+            for k, v in m.items():
+                writer.meter(k).write(float(v))
+        pending_metrics.clear()
+
     t0 = time.time()
     for epoch in range(max_epoch):
         loader.set_epoch(epoch)
@@ -372,9 +380,12 @@ def main(argv=None):
                 _stop_trace()
             it += 1
             steps_run += 1
-            for k, v in metrics.items():
-                writer.meter(k).write(float(v))
+            # metrics stay device arrays until the logging boundary: a
+            # per-iteration float() would block on the step and
+            # serialize the NEXT batch's host build behind it
+            pending_metrics.append(metrics)
             if it % logging_iter == 0:
+                _flush_pending()
                 dt = time.time() - t0
                 writer.flush_meters(it)
                 writer.scalar('perf/iters_per_s', logging_iter / dt, it)
@@ -400,6 +411,7 @@ def main(argv=None):
             if stop_requested['flag']:
                 print('[train] termination requested - checkpointing')
                 _stop_trace()
+                _flush_pending()
                 if jax.process_index() == 0 and state is not None:
                     save_checkpoint(ckpt_dir, state)
                 writer.close()
@@ -412,6 +424,7 @@ def main(argv=None):
                 and jax.process_index() == 0 and state is not None:
             save_checkpoint(ckpt_dir, state)
     _stop_trace()
+    _flush_pending()
     if jax.process_index() == 0 and state is not None:
         save_checkpoint(ckpt_dir, state)
         print(f'[train] done at iteration {it}; checkpoints in '
