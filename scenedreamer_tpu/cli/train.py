@@ -94,7 +94,9 @@ def build_everything(cfg, args):
     loader = DataLoader(dataset, batch_size=args.batch_size,
                         seed=args.seed,
                         process_index=jax.process_index(),
-                        process_count=jax.process_count())
+                        process_count=jax.process_count(),
+                        num_workers=int(cfg.get('data', {})
+                                        .get('num_workers', 4)))
 
     # worlds
     world_cache = WorldCache(args.terrain_cache)

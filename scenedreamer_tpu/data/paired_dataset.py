@@ -290,10 +290,18 @@ class PairedImageDataset:
 
 class DataLoader:
     """Shuffling, host-sharding batch iterator (replaces torch
-    DataLoader + DistributedSampler, `utils/dataset.py:13-87`)."""
+    DataLoader + DistributedSampler, `utils/dataset.py:13-87`).
+
+    `num_workers > 0` decodes/augments items on a thread pool and keeps
+    `prefetch_batches` batches in flight ahead of the consumer — the
+    torch `num_workers` analog (`configs/scenedreamer_train.yaml:165`).
+    Threads, not processes: cv2 decode/resize releases the GIL, and the
+    per-item rng is seeded by (seed, epoch, index) so batches are
+    bit-identical to the synchronous path in the same order."""
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 process_index=0, process_count=1, drop_last=True):
+                 process_index=0, process_count=1, drop_last=True,
+                 num_workers=0, prefetch_batches=2):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -301,6 +309,8 @@ class DataLoader:
         self.pidx = process_index
         self.pcount = process_count
         self.drop_last = drop_last
+        self.num_workers = int(num_workers)
+        self.prefetch_batches = max(1, int(prefetch_batches))
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -311,15 +321,46 @@ class DataLoader:
         return per // self.batch_size if self.drop_last \
             else -(-per // self.batch_size)
 
-    def __iter__(self):
+    def _batch_indices(self):
         idx = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         idx = idx[self.pidx::self.pcount]
         n = len(idx) // self.batch_size * self.batch_size \
             if self.drop_last else len(idx)
-        for s in range(0, n, self.batch_size):
-            items = [self.ds.__getitem__(int(i), epoch=self.epoch)
-                     for i in idx[s:s + self.batch_size]]
-            yield {k: np.stack([it[k] for it in items])
-                   for k in items[0]}
+        return [idx[s:s + self.batch_size]
+                for s in range(0, n, self.batch_size)]
+
+    @staticmethod
+    def _stack(items):
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def __iter__(self):
+        batches = self._batch_indices()
+        epoch = self.epoch
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._stack([self.ds.__getitem__(int(i),
+                                                       epoch=epoch)
+                                   for i in b])
+            return
+        import collections
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            pending = collections.deque()
+
+            def submit(b):
+                pending.append([pool.submit(self.ds.__getitem__,
+                                            int(i), epoch=epoch)
+                                for i in b])
+            depth = min(self.prefetch_batches, len(batches))
+            for b in batches[:depth]:
+                submit(b)
+            nxt = depth
+            while pending:
+                futs = pending.popleft()
+                if nxt < len(batches):    # refill BEFORE blocking so the
+                    submit(batches[nxt])  # pool stays `depth` ahead
+                    nxt += 1
+                items = [f.result() for f in futs]
+                yield self._stack(items)

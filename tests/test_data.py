@@ -88,6 +88,25 @@ def test_dataset_and_loader(folder_root):
     np.testing.assert_array_equal(b1['images'], b2['images'])
 
 
+def test_loader_workers_bitwise_equal(folder_root):
+    """num_workers>0 must reproduce the synchronous path exactly:
+    same batches, same order (per-item rng is index-seeded)."""
+    ds = PairedImageDataset(
+        folder_root, augment=AugmentConfig(resize_smallest_side=64,
+                                           random_crop_h_w=(64, 64)))
+    sync = DataLoader(ds, batch_size=2, seed=3)
+    thr = DataLoader(ds, batch_size=2, seed=3, num_workers=3,
+                     prefetch_batches=2)
+    for epoch in range(2):
+        sync.set_epoch(epoch)
+        thr.set_epoch(epoch)
+        bs, bt = list(sync), list(thr)
+        assert len(bs) == len(bt) == 3
+        for a, b in zip(bs, bt):
+            np.testing.assert_array_equal(a['images'], b['images'])
+            np.testing.assert_array_equal(a['label'], b['label'])
+
+
 def test_lmdb_roundtrip(folder_root, tmp_path):
     pytest.importorskip('lmdb')
     from scenedreamer_tpu.data.lmdb_utils import build_paired_lmdbs
