@@ -329,7 +329,10 @@ def main(argv=None):
     pending_metrics = []
 
     def _flush_pending():
-        for m in pending_metrics:
+        # ONE batched D2H transfer for all deferred scalars (a float()
+        # per scalar costs a full device round trip each — ~30 ms over
+        # the axon tunnel)
+        for m in jax.device_get(pending_metrics):
             for k, v in m.items():
                 writer.meter(k).write(float(v))
         pending_metrics.clear()
@@ -383,8 +386,9 @@ def main(argv=None):
             it += 1
             steps_run += 1
             # metrics stay device arrays until the logging boundary: a
-            # per-iteration float() would block on the step and
-            # serialize the NEXT batch's host build behind it
+            # per-iteration float() blocks on the step, stalling the
+            # host-numpy part of the next batch build (the camera
+            # sampler's own device fetch still orders behind the step)
             pending_metrics.append(metrics)
             if it % logging_iter == 0:
                 _flush_pending()

@@ -346,7 +346,8 @@ class DataLoader:
             return
         import collections
         import concurrent.futures as cf
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+        pool = cf.ThreadPoolExecutor(self.num_workers)
+        try:
             pending = collections.deque()
 
             def submit(b):
@@ -364,3 +365,8 @@ class DataLoader:
                     nxt += 1
                 items = [f.result() for f in futs]
                 yield self._stack(items)
+        finally:
+            # abandoning the iterator mid-epoch (--max-iter break,
+            # SIGTERM checkpoint) must not wait out the prefetched
+            # decodes: drop queued work, don't join running threads
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -146,7 +146,7 @@ class TiledRenderer:
         """Raw 128-d style -> intermediate style."""
         return self._style_fn(self.params, style)
 
-    def export_tile(self, z, path=None, platforms=None):
+    def export_tile(self, z, path=None, platforms=None, batch=None):
         """AOT-serialize the per-tile render program (`jax.export`).
 
         Serving artifact: a versioned StableHLO blob of the jitted tile
@@ -155,28 +155,45 @@ class TiledRenderer:
         model code on the serving host (the reference has no analog;
         its tile loop re-runs eager torch per request). `z` is an
         example intermediate style (`style_z` output) fixing the style
-        shape. Returns the serialized bytes; also written to `path`
-        when given. `platforms` e.g. ('tpu',) or ('tpu', 'cpu').
+        shape. `batch` = leading tile-batch dim; defaults to this
+        renderer's live dispatch batch (`tiles_per_batch` when tiled,
+        1 full-frame) — pass the padded tile count explicitly when
+        serving the mesh-mode layout. Returns the serialized bytes;
+        also written to `path` when given. `platforms` e.g. ('tpu',)
+        or ('tpu', 'cpu').
         """
         from jax import export as jexport
         t = (self.tile + self.pad) if self.tile else None
-        h, w = (t, t) if t and t < max(self.cam_res) else self.cam_res
+        tiled = t and t < max(self.cam_res)
+        h, w = (t, t) if tiled else self.cam_res
+        b = batch or (self.tiles_per_batch if tiled else 1)
 
         def sds(x, dtype=None):
             x = jnp.asarray(x) if not hasattr(x, 'shape') else x
             return jax.ShapeDtypeStruct(x.shape, dtype or x.dtype)
 
+        params_sds = jax.tree_util.tree_map(sds, self.params)
+        raydirs_sds = jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
+        # sky_avg dtype follows the model's compute dtype — derive it
+        # from the live producer instead of assuming f32
+        sky_sds = jax.eval_shape(
+            self._sky_avg_fn, params_sds,
+            jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32), sds(z))
         args = (
-            jax.tree_util.tree_map(sds, self.params),
-            jax.ShapeDtypeStruct((1, h, w, self.m), jnp.int32),    # vid
-            jax.ShapeDtypeStruct((1, h, w, self.m, 2), jnp.float32),
-            jax.ShapeDtypeStruct((1, h, w, self.m), jnp.bool_),    # hit
-            jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32),  # raydirs
-            jax.ShapeDtypeStruct((1, 3), jnp.float32),        # cam_ori
-            sds(z),
-            jax.tree_util.tree_map(sds, self.global_enc),
-            jax.ShapeDtypeStruct(                            # sky_avg
-                (1, 1, 1, self.model.cfg.final_feat_dim), jnp.float32),
+            params_sds,
+            jax.ShapeDtypeStruct((b, h, w, self.m), jnp.int32),    # vid
+            jax.ShapeDtypeStruct((b, h, w, self.m, 2), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w, self.m), jnp.bool_),    # hit
+            raydirs_sds,
+            jax.ShapeDtypeStruct((b, 3), jnp.float32),        # cam_ori
+            jax.ShapeDtypeStruct((b,) + tuple(jnp.shape(z))[1:],
+                                 jnp.asarray(z).dtype),
+            jax.tree_util.tree_map(
+                lambda s: jax.ShapeDtypeStruct((b,) + s.shape[1:],
+                                               s.dtype),
+                jax.tree_util.tree_map(sds, self.global_enc)),
+            jax.ShapeDtypeStruct((b,) + sky_sds.shape[1:],
+                                 sky_sds.dtype),
             sds(jax.random.PRNGKey(0)),
         )
         exp = jexport.export(self._tile_fn,

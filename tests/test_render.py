@@ -139,7 +139,9 @@ def test_export_tile_round_trip(model_world, tmp_path):
     rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
     rd = jnp.asarray(rd)
     ori = jnp.asarray([[32.0, 40.0, 32.0]], jnp.float32)
-    sky = jnp.zeros((1, 1, 1, TINY.final_feat_dim), jnp.float32)
+    # the artifact's sky_avg signature follows the live producer
+    # (rank 5: [B,1,1,1,C]) — use it, as a serving host would
+    sky = r._sky_avg_fn(r.params, rd, z)
     key = jax.random.PRNGKey(7)
 
     img_a, dep_a = r._tile_fn(r.params, vid, dep, hit, rd, ori, z,
