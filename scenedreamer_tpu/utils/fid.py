@@ -57,3 +57,43 @@ def compute_fid(real_feats, fake_feats):
     mu1, s1 = activation_statistics(real_feats)
     mu2, s2 = activation_statistics(fake_feats)
     return frechet_distance(mu1, s1, mu2, s2)
+
+
+def _poly_kernel(x, y):
+    """Cubic polynomial kernel (x·y/D + 1)^3 — the KID kernel."""
+    d = x.shape[1]
+    return (x @ y.T / d + 1.0) ** 3
+
+
+def _mmd2_unbiased(x, y):
+    """Unbiased MMD^2 estimator (Gretton et al. 2012, eq. 3)."""
+    m, n = len(x), len(y)
+    kxx = _poly_kernel(x, x)
+    kyy = _poly_kernel(y, y)
+    kxy = _poly_kernel(x, y)
+    sum_xx = (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+    sum_yy = (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
+    sum_xy = kxy.mean()
+    return sum_xx + sum_yy - 2.0 * sum_xy
+
+
+def compute_kid(real_feats, fake_feats, num_subsets=100,
+                subset_size=1000, seed=0):
+    """Kernel Inception Distance (Binkowski et al. 2018): mean unbiased
+    polynomial-MMD^2 over random subsets — the SceneDreamer paper's
+    second headline metric (the repo itself ships no evaluation; this
+    exceeds parity like `compute_fid`). Returns (mean, std) over
+    subsets; `subset_size` is clipped to the smaller feature set.
+    """
+    x = np.asarray(real_feats, np.float64)
+    y = np.asarray(fake_feats, np.float64)
+    n = min(subset_size, len(x), len(y))
+    if n < 2:
+        raise ValueError('KID needs at least 2 samples per set')
+    rng = np.random.default_rng(seed)
+    vals = np.empty(num_subsets)
+    for i in range(num_subsets):
+        xi = x[rng.choice(len(x), n, replace=False)]
+        yi = y[rng.choice(len(y), n, replace=False)]
+        vals[i] = _mmd2_unbiased(xi, yi)
+    return float(vals.mean()), float(vals.std())

@@ -108,6 +108,23 @@ def test_fid_separates_distributions():
     assert far > near + 50
 
 
+def test_kid_zero_for_same_distribution_and_separates():
+    import numpy as np
+    from scenedreamer_tpu.utils.fid import compute_kid
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(300, 8))
+    same_mean, _ = compute_kid(a, rng.normal(size=(300, 8)),
+                               num_subsets=20, subset_size=100)
+    far_mean, far_std = compute_kid(a, rng.normal(size=(300, 8)) + 2.0,
+                                    num_subsets=20, subset_size=100)
+    # unbiased estimator: ~0 for identical distributions
+    assert abs(same_mean) < 0.5
+    assert far_mean > same_mean + 5.0
+    assert far_std >= 0.0
+    with np.testing.assert_raises(ValueError):
+        compute_kid(a[:1], a[:1])
+
+
 def test_misc_split_slice_attrs(tmp_path):
     from collections import OrderedDict
     import jax.numpy as jnp
