@@ -34,16 +34,10 @@ import jax.numpy as jnp
 # remote AOT compile over the axon tunnel; a warm cache turns reruns of
 # the same program into a disk load. BENCH_NO_CACHE=1 opts out.
 if not bool(int(os.environ.get('BENCH_NO_CACHE', '0'))):
-    _cache_dir = os.environ.get(
-        'JAX_COMPILATION_CACHE_DIR',
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     '.jax_cache'))
-    try:
-        jax.config.update('jax_compilation_cache_dir', _cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
-        _log(f'compilation cache at {_cache_dir}')
-    except Exception as e:  # older jax without the knobs
-        _log(f'compilation cache unavailable: {e}')
+    from scenedreamer_tpu.utils.misc import enable_compilation_cache
+    _cache_dir = enable_compilation_cache()
+    _log(f'compilation cache at {_cache_dir}' if _cache_dir
+         else 'compilation cache unavailable')
 
 _env = os.environ.get
 FRAME_H = int(_env('BENCH_H', 540))

@@ -78,6 +78,8 @@ def main(argv=None):
     import numpy as np
     from scenedreamer_tpu.models.generator import (GeneratorConfig,
                                                    SceneDreamerGenerator)
+    from scenedreamer_tpu.utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     from scenedreamer_tpu.render.pipeline import render_trajectory
     from scenedreamer_tpu.scene.terrain import generate_terrain
     from scenedreamer_tpu.scene.voxel_world import build_voxel_world

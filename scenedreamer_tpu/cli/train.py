@@ -253,6 +253,8 @@ def main(argv=None):
     import jax
     import numpy as np
     from scenedreamer_tpu.parallel.mesh import init_distributed
+    from scenedreamer_tpu.utils.misc import enable_compilation_cache
+    enable_compilation_cache()
     from scenedreamer_tpu.train.trainer import (load_checkpoint,
                                                 save_checkpoint)
     from scenedreamer_tpu.utils.config import Config

@@ -116,3 +116,27 @@ def get_recursive_subdirectories(input_dir, ext):
     dirs = {os.path.dirname(p) for p in glob.glob(
         os.path.join(input_dir, '**', f'*.{ext}'), recursive=True)}
     return sorted(dirs)
+
+
+def enable_compilation_cache(default_dir=None, min_compile_secs=10):
+    """Persistent XLA compilation cache (opt out with
+    SCENEDREAMER_NO_CACHE=1; dir override JAX_COMPILATION_CACHE_DIR).
+
+    The flagship grad step takes minutes of remote AOT compile over the
+    axon tunnel; a warm cache turns reruns of the same program into a
+    disk load. Returns the cache dir, or None when disabled/unavailable.
+    """
+    if bool(int(os.environ.get('SCENEDREAMER_NO_CACHE', '0'))):
+        return None
+    cache_dir = os.environ.get(
+        'JAX_COMPILATION_CACHE_DIR',
+        default_dir or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), '.jax_cache'))
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          min_compile_secs)
+    except Exception:   # older jax without the knobs
+        return None
+    return cache_dir
