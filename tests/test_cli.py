@@ -5,6 +5,7 @@ driven by scripts/smoke_render.py and the trainer tests)."""
 import os
 
 import numpy as np
+import pytest
 
 from scenedreamer_tpu.cli import pcg_cache, terrain_gen
 
@@ -38,3 +39,39 @@ def test_terrain_gen_to_pcg_cache_chain(tmp_path):
     assert np.load(out / 'height_map.npy').shape == (1, 1, 64, 64)
     assert np.load(out / 'semantic_map.npy').shape == (1, 11, 64, 64)
     assert np.load(out / 'hmap_mc.npy').shape == (64, 64)
+
+
+def test_demo_get_bev_headless():
+    """`cli/demo.py:get_bev` (reference `app_gradio.py:69-77`): a seed
+    produces aligned BEV height/semantic visualizations + the world."""
+    from scenedreamer_tpu.cli import demo
+    hvis, svis, world = demo.get_bev(seed=11, scene_size=64)
+    assert hvis.shape == svis.shape == (64, 64, 3)
+    assert hvis.dtype == svis.dtype == np.uint8
+    assert world.voxel.shape[1:] == (64, 64)
+
+
+def test_build_db_cli_roundtrip(tmp_path):
+    """`cli/build_db.py` end-to-end: folder tree -> paired LMDBs
+    readable by the lmdb dataset backend."""
+    pytest.importorskip('lmdb')
+    import cv2
+    from scenedreamer_tpu.cli import build_db
+    from scenedreamer_tpu.data.paired_dataset import PairedImageDataset
+    root = tmp_path / 'raw'
+    (root / 'images').mkdir(parents=True)
+    (root / 'seg_maps').mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        cv2.imwrite(str(root / 'images' / f'{i}.jpg'),
+                    rng.integers(0, 255, (80, 80, 3), np.uint8))
+        cv2.imwrite(str(root / 'seg_maps' / f'{i}.png'),
+                    rng.integers(0, 12, (80, 80), np.uint8))
+    out = tmp_path / 'db'
+    build_db.main(['--data_root', str(root),
+                   '--output_root', str(out)])
+    ds = PairedImageDataset(str(out), dataset_type='lmdb', augment=None)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item['images'].shape == (80, 80, 3)
+    assert item['label'].shape[-1] == 184
