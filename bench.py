@@ -37,7 +37,7 @@ if not bool(int(os.environ.get('BENCH_NO_CACHE', '0'))):
     from scenedreamer_tpu.utils.misc import enable_compilation_cache
     _cache_dir = enable_compilation_cache()
     _log(f'compilation cache at {_cache_dir}' if _cache_dir
-         else 'compilation cache unavailable')
+         else 'compilation cache off (disabled or unavailable)')
 
 _env = os.environ.get
 FRAME_H = int(_env('BENCH_H', 540))

@@ -98,6 +98,8 @@ def main(argv=None):
     if a.platform:
         from scenedreamer_tpu.cli.train import _force_platform
         _force_platform(a.platform)
+    from scenedreamer_tpu.utils.misc import enable_compilation_cache
+    enable_compilation_cache()
 
     if a.serve:
         try:

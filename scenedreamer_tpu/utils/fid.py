@@ -90,6 +90,10 @@ def compute_kid(real_feats, fake_feats, num_subsets=100,
     n = min(subset_size, len(x), len(y))
     if n < 2:
         raise ValueError('KID needs at least 2 samples per set')
+    if n == len(x) and n == len(y):
+        # every "subset" would be a full permutation and MMD^2 is
+        # permutation-invariant: compute once, std is exactly 0
+        return float(_mmd2_unbiased(x, y)), 0.0
     rng = np.random.default_rng(seed)
     vals = np.empty(num_subsets)
     for i in range(num_subsets):

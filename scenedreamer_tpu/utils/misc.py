@@ -12,6 +12,7 @@ only the structural helpers carry over. `requires_grad`
 global-norm (`train/trainer.py`).
 """
 import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -126,17 +127,26 @@ def enable_compilation_cache(default_dir=None, min_compile_secs=10):
     axon tunnel; a warm cache turns reruns of the same program into a
     disk load. Returns the cache dir, or None when disabled/unavailable.
     """
-    if bool(int(os.environ.get('SCENEDREAMER_NO_CACHE', '0'))):
+    if os.environ.get('SCENEDREAMER_NO_CACHE', '').strip().lower() in (
+            '1', 'true', 'yes', 'on'):
         return None
-    cache_dir = os.environ.get(
-        'JAX_COMPILATION_CACHE_DIR',
-        default_dir or os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))), '.jax_cache'))
+    repo_default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), '.jax_cache')
+    if default_dir is None:
+        default_dir = repo_default
+        if not os.access(os.path.dirname(repo_default), os.W_OK):
+            # installed (site-packages) layout: fall back to the user cache
+            default_dir = os.path.join(
+                os.environ.get('XDG_CACHE_HOME',
+                               os.path.expanduser('~/.cache')),
+                'scenedreamer_tpu', 'jax_cache')
+    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR', default_dir)
     try:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           min_compile_secs)
-    except Exception:   # older jax without the knobs
+    except Exception as e:   # older jax without the knobs
+        print(f'compilation cache unavailable: {e}', file=sys.stderr)
         return None
     return cache_dir
