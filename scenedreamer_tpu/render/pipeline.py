@@ -276,13 +276,16 @@ class TiledRenderer:
         # (batched tiles blew up the gather transients); >1 remains
         # useful over high-RTT remote-device links
         tb = self.tiles_per_batch
-        for s in range(0, len(coords), tb):
-            group = coords[s:s + tb]
+        pending = []    # dispatch ALL groups before any host transfer:
+        for s in range(0, len(coords), tb):    # jax dispatch is async,
+            group = coords[s:s + tb]           # so device work overlaps
             group_full = group + [group[-1]] * (tb - len(group))
-            imgs, dexps = self._dispatch_tiles(
+            pending.append((group, self._dispatch_tiles(
                 group_full, tile_in, vid, dep, hit, raydirs, cam_ori,
-                z, sky_avg, key)
-            self._stitch(out, out_d, imgs, dexps, group)
+                z, sky_avg, key)))             # the per-group RTT
+        for group, (imgs, dexps) in pending:
+            self._stitch(out, out_d, np.asarray(imgs),
+                         np.asarray(dexps), group)
         return self._finish(out, out_d, vid, return_aux)
 
     def _dispatch_tiles(self, coords_full, tile_in, vid, dep, hit,
@@ -303,11 +306,12 @@ class TiledRenderer:
         def bcast(arr):
             return place(jnp.broadcast_to(arr, (b,) + arr.shape[1:]))
 
-        imgs, dexps = self._tile_fn(
+        # device arrays, NOT host: the tile loop defers the D2H
+        # transfer so successive dispatches overlap on-device
+        return self._tile_fn(
             place_params(self.params), stack(vid), stack(dep),
             stack(hit), stack(raydirs), bcast(cam_ori), bcast(z),
             bcast(self.global_enc), bcast(sky_avg), key)
-        return np.asarray(imgs), np.asarray(dexps)
 
     def _stitch(self, out, out_d, imgs, dexps, coords):
         for i, (y0, x0) in enumerate(coords):
@@ -338,7 +342,8 @@ class TiledRenderer:
             coords_full, tile_in, vid, dep, hit, raydirs, cam_ori, z,
             sky_avg, key, place=lambda a: jax.device_put(a, sh),
             place_params=lambda a: jax.device_put(a, rep))
-        self._stitch(out, out_d, imgs, dexps, coords)
+        self._stitch(out, out_d, np.asarray(imgs), np.asarray(dexps),
+                     coords)
         if return_aux:
             p0 = self.pad // 2
             return out, {
