@@ -75,3 +75,36 @@ def test_build_db_cli_roundtrip(tmp_path):
     item = ds[0]
     assert item['images'].shape == (80, 80, 3)
     assert item['label'].shape[-1] == 184
+
+
+def test_evaluate_cli_fake_dir(tmp_path, capsys):
+    """`cli/evaluate.py` scores a rendered-frame folder against a real
+    set (FID + KID via the jitted VGG extractor); identical sets score
+    ~0 and a shifted set scores strictly worse."""
+    import cv2
+    from scenedreamer_tpu.cli import evaluate
+    rng = np.random.default_rng(0)
+    for d in ('real', 'same', 'shifted'):
+        (tmp_path / d).mkdir()
+    for i in range(5):
+        img = rng.integers(0, 200, (48, 48, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / 'real' / f'{i}.png'), img)
+        cv2.imwrite(str(tmp_path / 'same' / f'{i}.png'), img)
+        cv2.imwrite(str(tmp_path / 'shifted' / f'{i}.png'), img + 55)
+
+    def run(fake):
+        out = tmp_path / f'{fake}.json'
+        evaluate.main(['--real-dir', str(tmp_path / 'real'),
+                       '--fake-dir', str(tmp_path / fake),
+                       '--image-size', '48', '--batch', '4',
+                       '--output', str(out)])
+        import json
+        return json.loads(out.read_text())
+
+    same, shifted = run('same'), run('shifted')
+    assert same['num_real'] == same['num_fake'] == 5
+    # identical sets: FID is exactly 0; unbiased KID excludes the
+    # within-set diagonal so it is ~0 but can be slightly negative
+    assert same['fid'] < 1e-6 and same['kid'] < 1e-3
+    assert shifted['fid'] > same['fid'] + 1e-4
+    assert shifted['kid'] > same['kid']
