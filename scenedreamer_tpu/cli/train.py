@@ -101,10 +101,14 @@ def build_everything(cfg, args):
     # worlds
     world_cache = WorldCache(args.terrain_cache)
 
-    # SPADE pseudo-GT oracle (frozen; converted weights when provided)
-    spade = SPADEWrapper(num_labels=185, out_size=args.spade_size,
+    # SPADE pseudo-GT oracle (frozen; converted weights when provided).
+    # 184 labels: the pseudo-GT one-hot is 185-ch but the oracle
+    # consumes label[..., :-1] exactly like the reference
+    # (`trainers/gancraft.py:53`, trained landscape1m SPADE is
+    # 184-label per `landscape1m.yaml`)
+    spade = SPADEWrapper(num_labels=184, out_size=args.spade_size,
                          num_filters=args.spade_filters)
-    seg0 = np.zeros((1, args.spade_res, args.spade_res, 185),
+    seg0 = np.zeros((1, args.spade_res, args.spade_res, 184),
                     np.float32)
     seg0[..., 0] = 1.0
     sp_vars = spade.init({'params': jax.random.PRNGKey(0),
@@ -122,8 +126,23 @@ def build_everything(cfg, args):
             sp_vars = convert_spade(sd, num_filters=args.spade_filters)
         else:
             import orbax.checkpoint as ocp
-            sp_vars = ocp.PyTreeCheckpointer().restore(
-                args.spade_checkpoint, item=sp_vars)
+            from scenedreamer_tpu.train.trainer import latest_checkpoint
+            path = args.spade_checkpoint
+            if os.path.isdir(path) and not os.path.exists(
+                    os.path.join(path, '_CHECKPOINT_METADATA')):
+                path = latest_checkpoint(path) or path
+            restored = ocp.PyTreeCheckpointer().restore(path)
+            if isinstance(restored, dict) and 'g_params' in restored:
+                # a cli.train_spade run: freeze the trained oracle
+                # (EMA params when averaged; BN scale/bias folded into
+                # the frozen stored-stat layout)
+                from scenedreamer_tpu.utils.convert import (
+                    spade_frozen_from_trained)
+                g = restored.get('g_ema') or restored['g_params']
+                sp_vars = spade_frozen_from_trained(
+                    g, restored.get('g_stats', {}))
+            else:
+                sp_vars = restored
         print('[train] loaded SPADE oracle weights')
     else:
         print('[train] WARNING: SPADE oracle randomly initialized '
@@ -142,6 +161,7 @@ def build_everything(cfg, args):
             if jnp.issubdtype(x.dtype, jnp.floating) else x, sp_vars)
 
     def spade_apply(masks, key):
+        masks = masks[..., :-1]    # 185 -> 184 (`gancraft.py:53`)
         if oracle_bf16:
             masks = masks.astype(jnp.bfloat16)
         return spade.apply(sp_vars, {'label': masks}, random_style=True,

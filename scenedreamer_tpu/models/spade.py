@@ -73,6 +73,21 @@ class FrozenBatchNorm(nn.Module):
             * scale.value + offset.value
 
 
+def make_bn(features, bn_mode, name):
+    """Batch norm by mode. 'frozen' = stored-stat FrozenBatchNorm (the
+    oracle / checkpoint-conversion layout). 'train'/'eval' = flax
+    BatchNorm (scale/bias trainable in `params`, running mean/var in
+    `batch_stats`) for TRAINING the SPADE oracle (landscape1m.yaml):
+    under GSPMD the batch-axis mean of a sharded array is a global
+    reduction, so this IS the reference's sync_batch
+    (`activation_norm.py` sync_batch_norm) with the collective emitted
+    by the compiler; torch momentum 0.1 == flax momentum 0.9."""
+    if bn_mode == 'frozen':
+        return FrozenBatchNorm(features, name=name)
+    return nn.BatchNorm(use_running_average=(bn_mode == 'eval'),
+                        momentum=0.9, epsilon=1e-5, name=name)
+
+
 class SpadeNorm(nn.Module):
     """SpatiallyAdaptiveNorm (`activation_norm.py:133-263`),
     separate_projection=True, num_filters=128, kernel 5
@@ -80,13 +95,14 @@ class SpadeNorm(nn.Module):
     features: int
     num_filters: int = 128
     kernel_size: int = 5
+    bn_mode: str = 'frozen'
 
     @nn.compact
     def __call__(self, x, seg):
         conv = functools.partial(nn.Conv, kernel_size=(self.kernel_size,
                                                        self.kernel_size),
                                  padding='SAME', kernel_init=xavier_gain())
-        normed = FrozenBatchNorm(self.features, name='norm')(x)
+        normed = make_bn(self.features, self.bn_mode, name='norm')(x)
         label = _nearest(seg, x.shape[1:3])
         hidden = jax.nn.relu(conv(self.num_filters, name='mlp')(label))
         gamma = conv(self.features, name='gamma')(hidden)
@@ -98,10 +114,11 @@ class AdaptiveNorm(nn.Module):
     """Conditional batch norm from the style vector
     (`activation_norm.py:20-131`), separate projections."""
     features: int
+    bn_mode: str = 'frozen'
 
     @nn.compact
     def __call__(self, x, z):
-        normed = FrozenBatchNorm(self.features, name='norm')(x)
+        normed = make_bn(self.features, self.bn_mode, name='norm')(x)
         gamma = nn.Dense(self.features, kernel_init=xavier_gain(),
                          name='fc_gamma')(z)
         beta = nn.Dense(self.features, kernel_init=xavier_gain(),
@@ -166,6 +183,7 @@ class SpadeRes2dBlock(nn.Module):
     kernel_size: int = 3
     spade_filters: int = 128
     spade_kernel: int = 5
+    bn_mode: str = 'frozen'
 
     @nn.compact
     def __call__(self, x, seg):
@@ -173,7 +191,8 @@ class SpadeRes2dBlock(nn.Module):
                                                        self.kernel_size),
                                  padding='SAME', kernel_init=xavier_gain())
         norm = functools.partial(SpadeNorm, num_filters=self.spade_filters,
-                                 kernel_size=self.spade_kernel)
+                                 kernel_size=self.spade_kernel,
+                                 bn_mode=self.bn_mode)
         h = conv(self.out_features, name='conv0')(
             leaky_relu(norm(self.in_features, name='norm0')(x, seg)))
         h = conv(self.out_features, name='conv1')(
@@ -191,10 +210,13 @@ class CBNConvBlock(nn.Module):
     in_features: int
     out_features: int
     kernel_size: int = 3
+    bn_mode: str = 'frozen'
 
     @nn.compact
     def __call__(self, x, z):
-        x = leaky_relu(AdaptiveNorm(self.in_features, name='norm')(x, z))
+        x = leaky_relu(AdaptiveNorm(self.in_features,
+                                    bn_mode=self.bn_mode,
+                                    name='norm')(x, z))
         return nn.Conv(self.out_features,
                        (self.kernel_size, self.kernel_size),
                        padding='SAME', kernel_init=xavier_gain(),
@@ -212,6 +234,7 @@ class SPADEGenerator(nn.Module):
     output_multiplier: float = 0.5
     spade_filters: int = 128     # activation_norm_params.num_filters
     spade_kernel: int = 5        # activation_norm_params.kernel_size
+    bn_mode: str = 'frozen'
 
     @nn.compact
     def __call__(self, seg, z):
@@ -221,9 +244,11 @@ class SPADEGenerator(nn.Module):
         res = functools.partial(SpadeRes2dBlock,
                                 kernel_size=self.kernel_size,
                                 spade_filters=self.spade_filters,
-                                spade_kernel=self.spade_kernel)
+                                spade_kernel=self.spade_kernel,
+                                bn_mode=self.bn_mode)
         cbn = functools.partial(CBNConvBlock,
-                                kernel_size=self.kernel_size)
+                                kernel_size=self.kernel_size,
+                                bn_mode=self.bn_mode)
 
         # style projection (`spade.py:284-291`, order CAN, relu)
         z = jax.nn.relu(nn.Dense(2 * self.style_dims,
@@ -327,6 +352,7 @@ class SPADEWrapper(nn.Module):
     spade_filters: int = 128
     spade_kernel: int = 5
     style_enc_filters: int = 64
+    bn_mode: str = 'frozen'     # 'train'/'eval' for oracle TRAINING
 
     def setup(self):
         self.spade_generator = SPADEGenerator(
@@ -334,7 +360,8 @@ class SPADEWrapper(nn.Module):
             style_dims=self.style_dims, num_filters=self.num_filters,
             output_multiplier=self.output_multiplier,
             spade_filters=self.spade_filters,
-            spade_kernel=self.spade_kernel)
+            spade_kernel=self.spade_kernel,
+            bn_mode=self.bn_mode)
         self.style_encoder = SPADEStyleEncoder(
             style_dims=self.style_dims,
             num_filters=self.style_enc_filters)

@@ -340,3 +340,43 @@ def load_torch_checkpoint(path):
     import torch
     ckpt = torch.load(path, map_location='cpu', weights_only=False)
     return ckpt
+
+
+def spade_frozen_from_trained(params, batch_stats):
+    """Trained-mode SPADE variables -> frozen-oracle layout.
+
+    `cli/train_spade.py` trains with flax BatchNorm (scale/bias in
+    `params`, running mean/var in `batch_stats`); the frozen oracle
+    (`models/spade.py:FrozenBatchNorm`, the layout `convert_spade`
+    emits and `cli/train.py --spade-checkpoint` consumes) keeps all
+    four in `batch_stats` as mean/var/scale/offset. Eval math is
+    identical (eps 1e-5), so the conversion is a pure tree reshuffle —
+    the analog of the reference freezing its trained landscape1m SPADE
+    (`trainers/gancraft.py:30-42`).
+    """
+    def walk(p, s):
+        new_p, new_s = {}, {}
+        for k in set(p) | set(s):
+            pv, sv = p.get(k), s.get(k)
+            if (isinstance(sv, dict) and set(sv) == {'mean', 'var'}
+                    and isinstance(pv, dict)
+                    and set(pv) == {'scale', 'bias'}):
+                new_s[k] = {'mean': sv['mean'], 'var': sv['var'],
+                            'scale': pv['scale'], 'offset': pv['bias']}
+                continue
+            if isinstance(pv, dict) or isinstance(sv, dict):
+                sub_p, sub_s = walk(pv if isinstance(pv, dict) else {},
+                                    sv if isinstance(sv, dict) else {})
+                if sub_p:
+                    new_p[k] = sub_p
+                if sub_s:
+                    new_s[k] = sub_s
+            else:
+                if pv is not None:
+                    new_p[k] = pv
+                if sv is not None:
+                    new_s[k] = sv
+        return new_p, new_s
+
+    p, s = walk(dict(params), dict(batch_stats))
+    return {'params': p, 'batch_stats': s}
