@@ -136,3 +136,58 @@ def test_no_involuntary_rematerialization():
     assert 'Involuntary full rematerialization' not in proc.stderr, \
         '\n'.join(l for l in proc.stderr.splitlines()
                   if 'rematerialization' in l)[:2000]
+
+
+def test_spade_sync_bn_matches_single_device():
+    """SPADE oracle training on a data-sharded mesh: the batch-norm
+    statistics computed through the G step must equal the single-device
+    full-batch statistics — proving the 'sync_batch by GSPMD' design
+    (reference sync_batch_norm, `layers/activation_norm.py`; here the
+    batch-axis mean of a P('data')-sharded array is a compiler-emitted
+    global reduction)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from scenedreamer_tpu.train import gan_losses as G
+    from scenedreamer_tpu.train.spade_trainer import SpadeTrainer
+    from scenedreamer_tpu.train.trainer import TrainerConfig
+
+    gen_kw = dict(num_labels=6, out_size=256, num_filters=2,
+                  style_dims=8, spade_filters=2, style_enc_filters=2)
+
+    def make_trainer():
+        dis = G.MultiScaleDiscriminator(num_discriminators=2,
+                                        num_filters=2, num_layers=3)
+        return SpadeTrainer(gen_kw, dis, cfg=TrainerConfig(),
+                            loss_weights={'gan': 1.0, 'kl': 0.05})
+
+    rng = np.random.default_rng(0)
+    b = len(jax.devices())
+    lbl = jax.nn.one_hot(rng.integers(0, 6, (b, 32, 32)), 6,
+                         dtype=jnp.float32)
+    imgs = jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3))
+                       .astype(np.float32))
+    batch = {'label': lbl, 'images': imgs}
+    key = jax.random.PRNGKey(0)
+
+    tr1 = make_trainer()
+    state1 = tr1.init_state(jax.random.PRNGKey(0), batch)
+    state1, m1 = tr1.train_step(state1, batch, key)
+
+    mesh = pm.make_mesh()
+    sh = NamedSharding(mesh, P('data'))
+    rep = NamedSharding(mesh, P())
+    tr2 = make_trainer()
+    state2 = tr2.init_state(jax.random.PRNGKey(0), batch)
+    state2 = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep), state2)
+    batch_sh = {k: jax.device_put(v, sh) for k, v in batch.items()}
+    state2, m2 = tr2.train_step(state2, batch_sh, key)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=2e-4, atol=1e-5, err_msg=k)
+    stats1 = jax.tree_util.tree_map(np.asarray, state1.g_stats)
+    stats2 = jax.tree_util.tree_map(np.asarray, state2.g_stats)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(a, c, rtol=2e-4,
+                                                atol=1e-5),
+        stats1, stats2)
