@@ -83,6 +83,7 @@ def main(argv=None):
     max_epoch = a.max_epoch or int(cfg.get('max_epoch', 400))
     logging_iter = int(cfg.get('logging_iter', 100))
     snapshot_save_iter = int(cfg.get('snapshot_save_iter', 30000))
+    image_save_iter = int(cfg.get('image_save_iter', 5000))
 
     gen_kwargs = dict(
         num_labels=int(gen_c.get('num_labels', 184)),
@@ -162,6 +163,28 @@ def main(argv=None):
         'label': jnp.zeros((a.batch_size, a.image_size, a.image_size,
                             gen_kwargs['num_labels']), jnp.float32)}
     state = trainer.init_state(key, sample)
+
+    # multi-device: params replicated, batch sharded on 'data' — the
+    # DDP analog; batch-norm statistics become global reductions (the
+    # reference's sync_batch), proven equivalent in
+    # `tests/test_parallel.py::test_spade_sync_bn_matches_single_device`
+    place_batch = jnp.asarray
+    if jax.device_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from scenedreamer_tpu.parallel import mesh as pm
+        mesh = pm.make_mesh()
+        if a.batch_size % mesh.shape['data'] == 0:
+            sh = NamedSharding(mesh, P('data'))
+            rep = NamedSharding(mesh, P())
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), state)
+            place_batch = lambda x: jax.device_put(  # noqa: E731
+                jnp.asarray(x), sh)
+            print(f"[train_spade] mesh {dict(mesh.shape)} "
+                  f"(batch sharded on 'data')")
+        else:
+            print(f'[train_spade] batch {a.batch_size} not divisible '
+                  f"by {mesh.shape['data']} devices - single-device")
     it = 0
     if a.resume:
         from scenedreamer_tpu.cli.train import _find_resume_dir
@@ -181,8 +204,8 @@ def main(argv=None):
     for epoch in range(start_epoch, max_epoch):
         loader.set_epoch(epoch)
         for batch in loader:
-            batch = {'images': jnp.asarray(batch['images']),
-                     'label': jnp.asarray(batch['label'])}
+            batch = {'images': place_batch(batch['images']),
+                     'label': place_batch(batch['label'])}
             key, sub = jax.random.split(key)
             state, metrics = trainer.train_step(state, batch, sub)
             it += 1
@@ -198,6 +221,8 @@ def main(argv=None):
                 print(f'[train_spade] it {it} epoch {epoch} '
                       f'G {g:.4f} D {d:.4f} '
                       f'({it / (time.time() - t0 + 1e-9):.3f} it/s)')
+            if it % image_save_iter == 0:
+                _save_snapshot(writer, trainer, state, batch, key, it)
             if it % snapshot_save_iter == 0:
                 save_checkpoint(ckpt_dir, state)
             if a.max_iter and it >= a.max_iter:
@@ -213,6 +238,26 @@ def main(argv=None):
     writer.close()
     print(f'[train_spade] done at iteration {it}; '
           f'checkpoints in {ckpt_dir}')
+
+
+def _save_snapshot(writer, trainer, state, batch, key, it):
+    """Visualization strip real | label | fake | fake(EMA)
+    (`trainers/base.py:530-551` image logging cadence)."""
+    import numpy as np
+    from scenedreamer_tpu.utils.visualization import (image_grid,
+                                                      tensor2im,
+                                                      tensor2label)
+    imgs = [tensor2im(np.asarray(batch['images'][0])),
+            tensor2label(np.asarray(batch['label'][0]))]
+    out = trainer.generate(state, batch, key, use_ema=False)
+    imgs.append(tensor2im(np.asarray(out['fake_images'][0])))
+    if state.g_ema is not None:
+        ema = trainer.generate(state, batch, key, use_ema=True)
+        imgs.append(tensor2im(np.asarray(ema['fake_images'][0])))
+    h = min(im.shape[0] for im in imgs)
+    w = min(im.shape[1] for im in imgs)
+    writer.image('train/snapshot',
+                 image_grid([im[:h, :w] for im in imgs]), it)
 
 
 if __name__ == '__main__':
