@@ -31,11 +31,14 @@ IMG_EXTS = ('*.png', '*.jpg', '*.jpeg', '*.webp')
 
 
 def list_images(root, limit=0):
-    """Image files under root (flat or one level of subdirs), sorted."""
+    """Image files in root, sorted. If root has an `images/` subdir
+    (the paired-dataset layout), ONLY that subdir is used — globbing
+    every subdir would silently mix `seg_maps/` into the feature set."""
+    img_sub = os.path.join(root, 'images')
+    scan = img_sub if os.path.isdir(img_sub) else root
     paths = []
     for ext in IMG_EXTS:
-        paths += glob.glob(os.path.join(root, ext))
-        paths += glob.glob(os.path.join(root, '*', ext))
+        paths += glob.glob(os.path.join(scan, ext))
     paths = sorted(set(paths))
     return paths[:limit] if limit else paths
 
@@ -118,14 +121,16 @@ def render_frames(a):
     cfg = GeneratorConfig(num_samples=a.num_samples)
     model = SceneDreamerGenerator(cfg=cfg)
     frames = []
+    params = None
     for seed in a.seeds:
         maps = generate_terrain(size=a.scene_size, seed=seed)
         world = build_voxel_world(maps.height_map, maps.semantic_map,
                                   maps.tree_map, fill_depth=16,
                                   seed=seed)
         key = jax.random.PRNGKey(seed)
-        ckpt = '' if a.checkpoint == 'random' else a.checkpoint
-        params = load_generator_params(ckpt, model, world, cfg, key)
+        if params is None:    # params are seed-independent: load once
+            ckpt = '' if a.checkpoint == 'random' else a.checkpoint
+            params = load_generator_params(ckpt, model, world, cfg, key)
         style = jax.random.normal(key, (1, cfg.style_dims))
         r = TiledRenderer(model, params, world,
                           num_samples=a.num_samples, pad=a.pad,

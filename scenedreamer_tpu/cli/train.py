@@ -130,7 +130,12 @@ def build_everything(cfg, args):
             path = args.spade_checkpoint
             if os.path.isdir(path) and not os.path.exists(
                     os.path.join(path, '_CHECKPOINT_METADATA')):
-                path = latest_checkpoint(path) or path
+                # accept a train_spade run dir (pointer lives under
+                # <run>/checkpoints/) or the checkpoints dir itself
+                path = (latest_checkpoint(path)
+                        or latest_checkpoint(os.path.join(path,
+                                                          'checkpoints'))
+                        or path)
             restored = ocp.PyTreeCheckpointer().restore(path)
             if isinstance(restored, dict) and 'g_params' in restored:
                 # a cli.train_spade run: freeze the trained oracle
@@ -143,6 +148,15 @@ def build_everything(cfg, args):
                     g, restored.get('g_stats', {}))
             else:
                 sp_vars = restored
+        k = np.asarray(sp_vars['params']['spade_generator']
+                       ['head_0']['kernel'])
+        if k.shape[2] != 184:
+            raise SystemExit(
+                f'--spade-checkpoint has a {k.shape[2]}-label oracle; '
+                'this framework (like the reference, '
+                'trainers/gancraft.py:53) feeds the trained 184-label '
+                'SPADE with label[..., :-1]. Re-export the checkpoint '
+                'at 184 labels.')
         print('[train] loaded SPADE oracle weights')
     else:
         print('[train] WARNING: SPADE oracle randomly initialized '

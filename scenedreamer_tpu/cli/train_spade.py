@@ -50,6 +50,7 @@ def main(argv=None):
     p.add_argument('--dis-filters', type=int, default=None)
     p.add_argument('--style-dims', type=int, default=None)
     p.add_argument('--spade-filters', type=int, default=None)
+    p.add_argument('--style-enc-filters', type=int, default=None)
     p.add_argument('--platform', default=None)
     a = p.parse_args(argv)
 
@@ -95,7 +96,7 @@ def main(argv=None):
         spade_filters=a.spade_filters or int(
             gen_c.get('activation_norm_params', {})
             .get('num_filters', 128)),
-        style_enc_filters=a.num_filters or int(
+        style_enc_filters=a.style_enc_filters or int(
             gen_c.get('style_enc', {}).get('num_filters', 64)))
     dis = G.MultiScaleDiscriminator(
         num_discriminators=int(dis_c.get('num_discriminators', 2)),
@@ -221,9 +222,11 @@ def main(argv=None):
                 print(f'[train_spade] it {it} epoch {epoch} '
                       f'G {g:.4f} D {d:.4f} '
                       f'({it / (time.time() - t0 + 1e-9):.3f} it/s)')
-            if it % image_save_iter == 0:
+            # master-only saves (`@master_only`, `trainers/base.py:943`)
+            if it % image_save_iter == 0 and jax.process_index() == 0:
                 _save_snapshot(writer, trainer, state, batch, key, it)
-            if it % snapshot_save_iter == 0:
+            if it % snapshot_save_iter == 0 \
+                    and jax.process_index() == 0:
                 save_checkpoint(ckpt_dir, state)
             if a.max_iter and it >= a.max_iter:
                 done = True
@@ -234,7 +237,8 @@ def main(argv=None):
         for k, v in m.items():       # last logging boundary
             writer.meter(k).write(float(v))
         writer.flush_meters(step_i)
-    save_checkpoint(ckpt_dir, state)
+    if jax.process_index() == 0:
+        save_checkpoint(ckpt_dir, state)
     writer.close()
     print(f'[train_spade] done at iteration {it}; '
           f'checkpoints in {ckpt_dir}')

@@ -187,10 +187,14 @@ def spade_gen_loss(dis_apply, g_out, batch, perceptual=None,
 
 
 def spade_dis_loss(dis_apply, fake_images, batch,
-                   weights=SPADE_LOSS_WEIGHTS, gan_mode='hinge'):
+                   weights=SPADE_LOSS_WEIGHTS, gan_mode='hinge',
+                   dis_apply_real=None):
+    """`dis_apply_real` optionally substitutes the real-image forward —
+    the trainer passes a stats-updating variant so the spectral-norm
+    power iteration advances inside the loss (no extra D forward)."""
     label = batch['label']
     out_f, _ = dis_apply(jax.lax.stop_gradient(fake_images), label)
-    out_r, _ = dis_apply(batch['images'], label)
+    out_r, _ = (dis_apply_real or dis_apply)(batch['images'], label)
     fake_l = gan_loss(out_f, False, gan_mode, dis_update=True)
     real_l = gan_loss(out_r, True, gan_mode, dis_update=True)
     total = weights['gan'] * (fake_l + real_l)

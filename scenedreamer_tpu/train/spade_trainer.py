@@ -43,12 +43,13 @@ class SpadeTrainState:
 class SpadeTrainer:
     """Jitted train step for the SPADE oracle.
 
-    gen_kwargs: SPADEWrapper fields (without bn_mode). The same
-    parameter tree is applied through a bn_mode='train' module in the
-    G step (updates batch stats) and a bn_mode='eval' module in the D
-    step / EMA eval — mirroring the reference's net_G train-mode
-    forward under no_grad for D and autograd for G
-    (`trainers/base.py:753-816,676-744`).
+    gen_kwargs: SPADEWrapper fields (without bn_mode). The parameter
+    tree is applied through a bn_mode='train' module (batch statistics)
+    in BOTH updates — mirroring the reference's net_G train-mode
+    forward: under no_grad for the D step (stat updates discarded) and
+    under autograd for the G step (stat updates adopted)
+    (`trainers/base.py:753-816,676-744`). bn_mode='eval' (running
+    stats) is used only by `generate`.
     """
 
     def __init__(self, gen_kwargs, discriminator,
@@ -107,31 +108,42 @@ class SpadeTrainer:
         cfg = self.cfg
         kd, kg = jax.random.split(key)
 
-        # ---- D update (`trainers/base.py:753-816`): G in eval mode,
-        # fake detached by spade_dis_loss's stop_gradient
-        g_out = self.gen_eval.apply(
+        # ---- D update (`trainers/base.py:753-816`): G in train mode
+        # (batch statistics, like the reference's no_grad train-mode
+        # forward); the stat updates are discarded — only the G step
+        # adopts them. Fake detached by spade_dis_loss's stop_gradient.
+        g_out, _ = self.gen_train.apply(
             {'params': state.g_params, 'batch_stats': state.g_stats},
-            batch, rngs={'style': kd})
-        new_d_stats = state.d_stats
+            batch, rngs={'style': kd}, mutable=['batch_stats'])
 
         def d_loss(dp):
+            box = {}
+
             def dis_apply(images, label):
                 out, feat, _ = self._dis_apply(dp, state.d_stats,
                                                images, label)
                 return out, feat
-            return G.spade_dis_loss(dis_apply, g_out['fake_images'],
-                                    batch, weights=self.loss_weights,
-                                    gan_mode=self.gan_mode)
 
-        (_, dm), dg = jax.value_and_grad(d_loss, has_aux=True)(
-            state.d_params)
+            def dis_apply_real(images, label):
+                # the real forward also advances the spectral-norm
+                # power iteration (one D forward, no extra pass)
+                out, feat, ns = self._dis_apply(dp, state.d_stats,
+                                                images, label,
+                                                update_stats=True)
+                box['stats'] = ns
+                return out, feat
+
+            total, m = G.spade_dis_loss(
+                dis_apply, g_out['fake_images'], batch,
+                weights=self.loss_weights, gan_mode=self.gan_mode,
+                dis_apply_real=dis_apply_real)
+            return total, (m, box['stats'])
+
+        (_, (dm, new_d_stats)), dg = jax.value_and_grad(
+            d_loss, has_aux=True)(state.d_params)
         dg, d_ok, d_gnorm = _clip_and_validate(dg, cfg)
         d_params, d_opt = _apply_update(state.d_params, state.d_opt, dg,
                                         self.d_tx, d_ok)
-        # advance the spectral-norm power iteration once per step
-        _, _, new_d_stats = self._dis_apply(
-            d_params, state.d_stats, batch['images'], batch['label'],
-            update_stats=True)
 
         # ---- G update (`trainers/base.py:676-744`): train-mode BN,
         # batch_stats updated through the loss forward
