@@ -413,6 +413,18 @@ def main(argv=None):
                         it = int(state.step)
                         print(f'[train] resumed at iteration {it} '
                               f'from {resume_dir}')
+                        # reset_opt_{g,d}_on_resume
+                        # (`trainers/gancraft.py:300-305`): fresh
+                        # optimizer state, restored weights
+                        tc = cfg.get('trainer', {})
+                        if tc.get('reset_opt_g_on_resume', False):
+                            state = state.replace(
+                                g_opt=trainer.g_tx.init(state.g_params))
+                            print('[train] reset opt_G state')
+                        if tc.get('reset_opt_d_on_resume', False):
+                            state = state.replace(
+                                d_opt=trainer.d_tx.init(state.d_params))
+                            print('[train] reset opt_D state')
             with _ph('train_step') as box:
                 state, metrics = trainer.train_step(state, batch, k_step)
                 box['out'] = metrics
