@@ -221,6 +221,15 @@ class TiledRenderer:
         `return_aux`, also returns {'depth', 'first_voxel_id'}
         (reference inference_givenstyle_depth,
         `scenedreamer.py:636-851`)."""
+        return self.frame_async(cam_pose, z, key=key,
+                                return_aux=return_aux)()
+
+    def frame_async(self, cam_pose, z, key=None, return_aux=False):
+        """Dispatch ALL device work for one frame; returns a zero-arg
+        materializer producing `frame`'s result. The trajectory loop
+        dispatches frame i+1 before materializing frame i, overlapping
+        the D2H transfer + host stitching/PNG/mp4 encode with the next
+        frame's device queue (jax dispatch is async)."""
         key = jax.random.PRNGKey(0) if key is None else key
         ori, cdir, up, f_ratio = cam_pose
         h, w = self.cam_res
@@ -250,43 +259,65 @@ class TiledRenderer:
             img, dexp = self._tile_fn(self.params, vid, dep, hit,
                                       raydirs, cam_ori, z,
                                       self.global_enc, sky_avg, key)
-            if return_aux:
-                return np.asarray(img[0]), {
-                    'depth': np.asarray(dexp[0]),
-                    'first_voxel_id': np.asarray(
-                        vid[0, self.pad // 2:h - self.pad + self.pad
-                            // 2, self.pad // 2:w - self.pad
-                            + self.pad // 2, 0]),
-                }
-            return np.asarray(img[0])
 
-        out = np.zeros((self.res[0], self.res[1], 3), np.float32)
-        out_d = np.zeros((self.res[0], self.res[1]), np.float32)
+            def materialize_full():
+                if return_aux:
+                    return np.asarray(img[0]), {
+                        'depth': np.asarray(dexp[0]),
+                        'first_voxel_id': np.asarray(
+                            vid[0, self.pad // 2:h - self.pad + self.pad
+                                // 2, self.pad // 2:w - self.pad
+                                + self.pad // 2, 0]),
+                    }
+                return np.asarray(img[0])
+            return materialize_full
+
         coords = []
         for y0 in range(0, self.res[0], self.tile):
             for x0 in range(0, self.res[1], self.tile):
                 coords.append((min(y0, h - tile_in),
                                min(x0, w - tile_in)))
         if self.mesh is not None:
-            return self._frame_mesh(coords, tile_in, vid, dep, hit,
-                                    raydirs, cam_ori, z, sky_avg, key,
-                                    out, out_d, return_aux)
-        # optionally batch tiles per dispatch (padding keeps ONE
-        # compiled shape). Measured on v5e the default of 1 is fastest
-        # (batched tiles blew up the gather transients); >1 remains
-        # useful over high-RTT remote-device links
-        tb = self.tiles_per_batch
-        pending = []    # dispatch ALL groups before any host transfer:
-        for s in range(0, len(coords), tb):    # jax dispatch is async,
-            group = coords[s:s + tb]           # so device work overlaps
-            group_full = group + [group[-1]] * (tb - len(group))
-            pending.append((group, self._dispatch_tiles(
-                group_full, tile_in, vid, dep, hit, raydirs, cam_ori,
-                z, sky_avg, key)))             # the per-group RTT
-        for group, (imgs, dexps) in pending:
-            self._stitch(out, out_d, np.asarray(imgs),
-                         np.asarray(dexps), group)
-        return self._finish(out, out_d, vid, return_aux)
+            # ALL tiles in one sharded dispatch over `self.mesh` — the
+            # parallel version of the reference's sequential tile loop
+            # (`scenedreamer.py:600-628`)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = int(np.prod([self.mesh.shape[a]
+                                 for a in self.mesh.axis_names]))
+            coords_full = coords + [coords[-1]] * ((-len(coords))
+                                                   % n_dev)
+            sh = NamedSharding(self.mesh,
+                               P(tuple(self.mesh.axis_names)))
+            rep = NamedSharding(self.mesh, P())
+            pending = [(coords, self._dispatch_tiles(
+                coords_full, tile_in, vid, dep, hit, raydirs, cam_ori,
+                z, sky_avg, key, place=lambda a: jax.device_put(a, sh),
+                place_params=lambda a: jax.device_put(a, rep)))]
+        else:
+            # optionally batch tiles per dispatch (padding keeps ONE
+            # compiled shape). Measured on v5e the default of 1 is
+            # fastest (batched tiles blew up the gather transients);
+            # >1 remains useful over high-RTT remote-device links.
+            # Dispatch ALL groups before any host transfer — jax
+            # dispatch is async, so device work overlaps the
+            # per-group RTT.
+            tb = self.tiles_per_batch
+            pending = []
+            for s in range(0, len(coords), tb):
+                group = coords[s:s + tb]
+                group_full = group + [group[-1]] * (tb - len(group))
+                pending.append((group, self._dispatch_tiles(
+                    group_full, tile_in, vid, dep, hit, raydirs,
+                    cam_ori, z, sky_avg, key)))
+
+        def materialize_tiled():
+            out = np.zeros((self.res[0], self.res[1], 3), np.float32)
+            out_d = np.zeros((self.res[0], self.res[1]), np.float32)
+            for group, (imgs, dexps) in pending:
+                self._stitch(out, out_d, np.asarray(imgs),
+                             np.asarray(dexps), group)
+            return self._finish(out, out_d, vid, return_aux)
+        return materialize_tiled
 
     def _dispatch_tiles(self, coords_full, tile_in, vid, dep, hit,
                         raydirs, cam_ori, z, sky_avg, key,
@@ -329,30 +360,6 @@ class TiledRenderer:
             }
         return out
 
-    def _frame_mesh(self, coords, tile_in, vid, dep, hit, raydirs,
-                    cam_ori, z, sky_avg, key, out, out_d, return_aux):
-        """All tiles in one sharded dispatch over `self.mesh`."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        n_dev = int(np.prod([self.mesh.shape[a]
-                             for a in self.mesh.axis_names]))
-        coords_full = coords + [coords[-1]] * ((-len(coords)) % n_dev)
-        sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
-        rep = NamedSharding(self.mesh, P())
-        imgs, dexps = self._dispatch_tiles(
-            coords_full, tile_in, vid, dep, hit, raydirs, cam_ori, z,
-            sky_avg, key, place=lambda a: jax.device_put(a, sh),
-            place_params=lambda a: jax.device_put(a, rep))
-        self._stitch(out, out_d, np.asarray(imgs), np.asarray(dexps),
-                     coords)
-        if return_aux:
-            p0 = self.pad // 2
-            return out, {
-                'depth': out_d,
-                'first_voxel_id': np.asarray(
-                    vid[0, p0:p0 + self.res[0], p0:p0 + self.res[1], 0]),
-            }
-        return out
-
 
 def render_trajectory(model, params, world, style, output_dir,
                       camera_mode=0, cam_maxstep=10, cam_ang=72,
@@ -389,14 +396,12 @@ def render_trajectory(model, params, world, style, output_dir,
 
     video = VideoWriter(output_dir + '.mp4', fps=fps)
     frames = []
-    for i, pose in enumerate(ctl):
+
+    def emit(i, result):
         if save_depth:
-            img, aux = renderer.frame(pose, z,
-                                      key=jax.random.PRNGKey(seed + i),
-                                      return_aux=True)
+            img, aux = result
         else:
-            img = renderer.frame(pose, z,
-                                 key=jax.random.PRNGKey(seed + i))
+            img = result
         rgb = to_uint8(img)
         if write_frames:
             write_png(os.path.join(output_dir, f'{i:05d}.png'), rgb)
@@ -416,5 +421,20 @@ def render_trajectory(model, params, world, style, output_dir,
                       np.ascontiguousarray(vid_vis))
         video.append(rgb)
         frames.append(rgb)
+
+    # depth-1 frame pipeline: frame i+1's device work is dispatched
+    # before frame i's D2H/stitch/PNG/mp4 — host output overlaps the
+    # next frame's device queue (the reference renders strictly
+    # serially, `scenedreamer.py:573-631`)
+    prev = None
+    for i, pose in enumerate(ctl):
+        mat = renderer.frame_async(pose, z,
+                                   key=jax.random.PRNGKey(seed + i),
+                                   return_aux=save_depth)
+        if prev is not None:
+            emit(prev[0], prev[1]())
+        prev = (i, mat)
+    if prev is not None:
+        emit(prev[0], prev[1]())
     video.close()
     return frames
