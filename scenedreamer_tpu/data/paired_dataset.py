@@ -80,14 +80,15 @@ class Augmentor:
     General op-for-op equivalent of the reference albumentations
     pipeline (`utils/data.py:93-175` `_build_augmentation_ops`),
     implemented with cv2/numpy (albumentations is not in this image):
-    resize_smallest_side, resize_h_w, rotate, random_rotate_90,
-    random_scale_limit (scalar: factor in [1, 1+limit],
+    resize_smallest_side, resize_h_w, random_resize_h_w_aspect, rotate,
+    random_rotate_90, random_scale_limit (scalar: factor in [1, 1+limit],
     `utils/data.py:127`; dict {scale_limit_lb, scale_limit_ub, p}:
     the ± video-frame variant, `utils/data.py:76-84`), random_crop_h_w,
     center_crop_h_w, horizontal_flip, plus the photometric extras
-    (contrast, blur, gamma) on the image only. Ops apply in dict order
-    like the yaml. Geometry ops apply jointly to image (linear) and seg
-    (nearest)."""
+    (contrast, blur, motion_blur, compression, gamma) on the image
+    only; max_time_step is accepted and ignored (video datasets only).
+    Ops apply in dict order like the yaml. Geometry ops apply jointly
+    to image (linear) and seg (nearest)."""
 
     def __init__(self, cfg=None):
         cfg = AugmentConfig() if cfg is None else cfg
@@ -186,6 +187,49 @@ class Augmentor:
                     img_f = image.astype(np.float32) / 255.0
                     image = np.clip(img_f ** g * 255, 0,
                                     255).astype(image.dtype)
+            elif key == 'random_resize_h_w_aspect':
+                # alb.RandomResizedCrop(scale=(1,1), ratio=(lo,hi))
+                # (`utils/data.py:111-121`): crop the largest window of
+                # a random aspect ratio, resize to (h, w)
+                th, tw = value['h'], value['w']
+                lo, hi = value['aspect_min'], value['aspect_max']
+                ratio = np.exp(rng.uniform(np.log(lo), np.log(hi)))
+                cw = min(w, int(round(np.sqrt(h * w * ratio))))
+                ch = min(h, int(round(np.sqrt(h * w / ratio))))
+                y0 = int(rng.integers(0, h - ch + 1))
+                x0 = int(rng.integers(0, w - cw + 1))
+                image = image[y0:y0 + ch, x0:x0 + cw]
+                seg = seg[y0:y0 + ch, x0:x0 + cw]
+                image, seg = self._resize(image, seg, th, tw)
+            elif key == 'motion_blur':
+                # alb.MotionBlur: random-direction line kernel
+                if rng.random() < value.get('p', 1.0):
+                    k = int(rng.integers(3, max(value['blur_limit'],
+                                                3) + 1)) | 1
+                    kern = np.zeros((k, k), np.float32)
+                    if rng.random() < 0.5:    # random orientation
+                        kern[k // 2, :] = 1.0
+                    else:
+                        kern[:, k // 2] = 1.0
+                    ang = float(rng.uniform(0, 360))
+                    mat = cv2.getRotationMatrix2D((k / 2 - 0.5,
+                                                   k / 2 - 0.5), ang, 1.0)
+                    kern = cv2.warpAffine(kern, mat, (k, k))
+                    kern /= max(kern.sum(), 1e-6)
+                    image = cv2.filter2D(image, -1, kern)
+            elif key == 'compression':
+                # alb.ImageCompression: JPEG encode/decode round trip
+                if rng.random() < value.get('p', 1.0):
+                    q = int(rng.integers(value['quality_lower'], 101))
+                    ok, buf = cv2.imencode(
+                        '.jpg', image,
+                        [int(cv2.IMWRITE_JPEG_QUALITY), q])
+                    if ok:
+                        image = cv2.imdecode(buf, cv2.IMREAD_UNCHANGED)
+                        if image.ndim == 2:
+                            image = image[..., None]
+            elif key == 'max_time_step':
+                pass    # video datasets only (`utils/data.py:169`); n/a
             else:
                 if key not in ('resize_smallest_side', 'rotate',
                                'random_scale_limit'):

@@ -176,3 +176,32 @@ def test_augmentor_scale_dict_form():
         'scale_limit_lb': 0.5, 'scale_limit_ub': 0.5, 'p': 0.0}})
     out, _ = aug0(img, seg, np.random.default_rng(0))
     assert out.shape[0] == 64
+
+
+def test_augmentor_aspect_motionblur_compression():
+    """The face-vid2vid-era ops (`utils/data.py:111-121,157-164`):
+    random_resize_h_w_aspect crops a random-aspect window then resizes;
+    motion_blur and compression perturb the image only."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (80, 120, 3)).astype(np.uint8)
+    seg = rng.integers(0, 12, (80, 120)).astype(np.uint8)
+    aug = Augmentor({
+        'random_resize_h_w_aspect': {'h': 64, 'w': 48,
+                                     'aspect_min': 0.75,
+                                     'aspect_max': 1.33},
+        'motion_blur': {'blur_limit': 7, 'p': 1.0},
+        'compression': {'quality_lower': 40, 'p': 1.0},
+        'max_time_step': 4,          # video-only: accepted, ignored
+    })
+    for seed in range(4):
+        i2, s2 = aug(img, seg, np.random.default_rng(seed))
+        assert i2.shape == (64, 48, 3) and s2.shape == (64, 48)
+        assert i2.dtype == np.uint8
+        # seg stays a valid label map (nearest resize, no photometric)
+        assert set(np.unique(s2)) <= set(np.unique(seg))
+    # motion blur + jpeg actually changed pixel content
+    clean, _ = Augmentor({'random_resize_h_w_aspect': {
+        'h': 64, 'w': 48, 'aspect_min': 1.0, 'aspect_max': 1.0}})(
+        img, seg, np.random.default_rng(1))
+    dirty, _ = aug(img, seg, np.random.default_rng(1))
+    assert np.abs(clean.astype(int) - dirty.astype(int)).mean() > 1.0
