@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument('--pad', type=int, default=30)
     p.add_argument('--tile_size', type=int, default=128)
     p.add_argument('--fps', type=int, default=10)
+    p.add_argument('--tiles_per_batch', type=int, default=1,
+                   help='tiles per device dispatch (one compiled '
+                        'shape; >1 amortizes per-dispatch RTT over '
+                        'remote-device links)')
     p.add_argument('--mesh_tiles', action='store_true',
                    help='fan frame tiles out over all devices in one '
                         'dispatch (multi-chip inference)')
@@ -114,7 +118,8 @@ def main(argv=None):
         num_blocks_early_stop=a.num_blocks_early_stop,
         sample_depth=a.sample_depth, pad=a.pad, tile_size=a.tile_size,
         resolution_hw=tuple(a.resolution), fps=a.fps, seed=a.seed,
-        save_depth=a.save_depth, mesh=mesh)
+        save_depth=a.save_depth, mesh=mesh,
+        tiles_per_batch=a.tiles_per_batch)
     print(f'[inference] wrote {a.output_dir}/rgb_render(.mp4)')
 
 

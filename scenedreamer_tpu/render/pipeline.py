@@ -366,7 +366,8 @@ def render_trajectory(model, params, world, style, output_dir,
                       num_samples=40, num_blocks_early_stop=6,
                       sample_depth=3.0, pad=30, tile_size=128,
                       resolution_hw=(540, 960), fps=10, seed=1,
-                      write_frames=True, save_depth=False, mesh=None):
+                      write_frames=True, save_depth=False, mesh=None,
+                      tiles_per_batch=1):
     """Full inference: camera trajectory -> rgb_render/*.png + .mp4
     (`scenedreamer.py:479-632`). Returns the list of rendered frames."""
     output_dir = os.path.join(output_dir, 'rgb_render')
@@ -377,7 +378,8 @@ def render_trajectory(model, params, world, style, output_dir,
                              num_blocks_early_stop=num_blocks_early_stop,
                              sample_depth=sample_depth, pad=pad,
                              tile_size=tile_size,
-                             resolution_hw=resolution_hw, mesh=mesh)
+                             resolution_hw=resolution_hw, mesh=mesh,
+                             tiles_per_batch=tiles_per_batch)
 
     # side outputs (`scenedreamer.py:563-565`)
     sem = np.argmax(world.semantic_field[0], axis=0)
