@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument('--pad', type=int, default=30)
     p.add_argument('--tile_size', type=int, default=128)
     p.add_argument('--fps', type=int, default=10)
+    p.add_argument('--style', default='',
+                   help='style.npy from a previous render (reuse the '
+                        'scene appearance instead of sampling from '
+                        '--seed)')
     p.add_argument('--tiles_per_batch', type=int, default=1,
                    help='tiles per device dispatch (one compiled '
                         'shape; >1 amortizes per-dispatch RTT over '
@@ -104,8 +108,14 @@ def main(argv=None):
     key = jax.random.PRNGKey(a.seed)
     params = load_generator_params(a.checkpoint, model, world, cfg, key)
 
-    style = jax.random.normal(jax.random.PRNGKey(a.seed),
-                              (1, cfg.style_dims))
+    if a.style:
+        # re-render a saved scene appearance (`inference_givenstyle`
+        # persists style.npy, `scenedreamer.py:479-632`)
+        import numpy as np
+        style = jnp.asarray(np.load(a.style).reshape(1, cfg.style_dims))
+    else:
+        style = jax.random.normal(jax.random.PRNGKey(a.seed),
+                                  (1, cfg.style_dims))
     os.makedirs(a.output_dir, exist_ok=True)
     mesh = None
     if a.mesh_tiles:
