@@ -108,3 +108,24 @@ def test_evaluate_cli_fake_dir(tmp_path, capsys):
     assert same['fid'] < 1e-6 and same['kid'] < 1e-3
     assert shifted['fid'] > same['fid'] + 1e-4
     assert shifted['kid'] > same['kid']
+
+
+def test_evaluate_list_images_prefers_images_subdir(tmp_path):
+    """A dataset root with images/ + seg_maps/ must contribute only
+    images/ to the feature sets (seg maps would corrupt FID/KID)."""
+    import cv2
+    from scenedreamer_tpu.cli.evaluate import list_images
+    (tmp_path / 'images').mkdir()
+    (tmp_path / 'seg_maps').mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / 'images' / f'{i}.png'),
+                    rng.integers(0, 255, (8, 8, 3), np.uint8))
+        cv2.imwrite(str(tmp_path / 'seg_maps' / f'{i}.png'),
+                    rng.integers(0, 12, (8, 8), np.uint8))
+    paths = list_images(str(tmp_path))
+    assert len(paths) == 3
+    assert all('seg_maps' not in p for p in paths)
+    # flat layout still works
+    flat = list_images(str(tmp_path / 'seg_maps'))
+    assert len(flat) == 3
