@@ -74,6 +74,22 @@ def main():
           f'at {a.resolution[0]}x{a.resolution[1]}x{a.samples}',
           flush=True)
 
+    # pipelined throughput: frame i+1 dispatched before frame i's D2H
+    # (the render_trajectory loop shape) — quantifies the depth-1
+    # frame pipeline vs the serial s/frame above
+    t0 = time.time()
+    prev = None
+    for i in range(a.frames):
+        mat = r.frame_async(ctl[min(i + 1, len(ctl) - 1)], z)
+        if prev is not None:
+            _ = float(np.sum(prev()))
+        prev = mat
+    _ = float(np.sum(prev()))
+    spf_p = (time.time() - t0) / a.frames
+    print(f'pipelined: {spf_p:.1f} s/frame '
+          f'({rays / spf_p / 1e3:.1f}k rays/s) over {a.frames} frames',
+          flush=True)
+
 
 if __name__ == '__main__':
     main()
