@@ -30,9 +30,11 @@ def main(argv=None):
     p.add_argument('--dataset-type', default='folder',
                    choices=['folder', 'lmdb'])
     p.add_argument('--logdir', default='logs')
-    p.add_argument('--batch-size', type=int, default=4)
-    p.add_argument('--image-size', type=int, default=256,
-                   help='training crop resolution')
+    p.add_argument('--batch-size', type=int, default=None,
+                   help='default: data.train.batch_size from config')
+    p.add_argument('--image-size', type=int, default=None,
+                   help='training crop override (default: the '
+                        "config's data.train.augmentations pipeline)")
     p.add_argument('--out-size', type=int, default=None,
                    choices=[256, 512, 1024],
                    help='generator output-tap ladder '
@@ -86,10 +88,33 @@ def main(argv=None):
     snapshot_save_iter = int(cfg.get('snapshot_save_iter', 30000))
     image_save_iter = int(cfg.get('image_save_iter', 5000))
 
+    # crop + augmentations: --image-size overrides; otherwise the
+    # config's training pipeline (reference `landscape1m.yaml:111-133`)
+    data_c = cfg.get('data', {})
+    aug_ops = data_c.get('train', {}).get('augmentations')
+    if a.image_size:
+        crop = (a.image_size, a.image_size)
+        augment = AugmentConfig(resize_smallest_side=a.image_size,
+                                random_crop_h_w=crop)
+    elif aug_ops:
+        augment = {k: (tuple(v) if isinstance(v, (list, tuple)) else v)
+                   for k, v in aug_ops.items()}
+        crop = tuple(augment.get('random_crop_h_w')
+                     or augment.get('center_crop_h_w') or (256, 256))
+    else:
+        crop = (256, 256)
+        augment = AugmentConfig(resize_smallest_side=crop[0],
+                                random_crop_h_w=crop)
+    image_size = int(min(crop))
+
+    # reference ladder = min(crop_h, crop_w) (`spade.py:43`), snapped
+    # down to the nearest implemented tap ladder
+    default_out = max(256, min([s for s in (256, 512, 1024)
+                                if s <= max(image_size, 256)][-1], 1024))
     gen_kwargs = dict(
         num_labels=int(gen_c.get('num_labels', 184)),
         out_size=a.out_size or int(
-            gen_c.get('out_image_small_side_size', 512)),
+            gen_c.get('out_image_small_side_size', default_out)),
         style_dims=a.style_dims or int(gen_c.get('style_dims', 256)),
         num_filters=a.num_filters or int(gen_c.get('num_filters', 128)),
         output_multiplier=float(gen_c.get('output_multiplier', 0.5)),
@@ -106,17 +131,15 @@ def main(argv=None):
         kernel_size=int(dis_c.get('kernel_size', 4)))
 
     dataset = PairedImageDataset(
-        a.data_root, dataset_type=a.dataset_type,
-        augment=AugmentConfig(
-            resize_smallest_side=a.image_size,
-            random_crop_h_w=(a.image_size, a.image_size)),
-        num_seg_classes=int(cfg.get('data', {})
-                            .get('one_hot_num_classes', 183)))
+        a.data_root, dataset_type=a.dataset_type, augment=augment,
+        num_seg_classes=int(data_c.get('one_hot_num_classes', 183)))
+    batch_size = a.batch_size or int(
+        data_c.get('train', {}).get('batch_size', 4))
     loader = DataLoader(
-        dataset, batch_size=a.batch_size, seed=a.seed,
+        dataset, batch_size=batch_size, seed=a.seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
-        num_workers=int(cfg.get('data', {}).get('num_workers', 4)))
+        num_workers=int(data_c.get('num_workers', 4)))
     iters_per_epoch = max(1, len(loader))
 
     perceptual = None
@@ -159,9 +182,9 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(a.seed + jax.process_index())
     sample = {
-        'images': jnp.zeros((a.batch_size, a.image_size, a.image_size,
+        'images': jnp.zeros((batch_size, image_size, image_size,
                              3), jnp.float32),
-        'label': jnp.zeros((a.batch_size, a.image_size, a.image_size,
+        'label': jnp.zeros((batch_size, image_size, image_size,
                             gen_kwargs['num_labels']), jnp.float32)}
     state = trainer.init_state(key, sample)
 
@@ -174,7 +197,7 @@ def main(argv=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
         from scenedreamer_tpu.parallel import mesh as pm
         mesh = pm.make_mesh()
-        if a.batch_size % mesh.shape['data'] == 0:
+        if batch_size % mesh.shape['data'] == 0:
             sh = NamedSharding(mesh, P('data'))
             rep = NamedSharding(mesh, P())
             state = jax.tree_util.tree_map(
@@ -184,7 +207,7 @@ def main(argv=None):
             print(f"[train_spade] mesh {dict(mesh.shape)} "
                   f"(batch sharded on 'data')")
         else:
-            print(f'[train_spade] batch {a.batch_size} not divisible '
+            print(f'[train_spade] batch {batch_size} not divisible '
                   f"by {mesh.shape['data']} devices - single-device")
     it = 0
     if a.resume:
