@@ -61,6 +61,10 @@ def main(argv=None):
                    help='style.npy from a previous render (reuse the '
                         'scene appearance instead of sampling from '
                         '--seed)')
+    p.add_argument('--style2', default='',
+                   help='second style: interpolate appearance from '
+                        '--style/--seed to this across the trajectory '
+                        "(a style.npy path, or 'seed:<int>')")
     p.add_argument('--tiles_per_batch', type=int, default=1,
                    help='tiles per device dispatch (one compiled '
                         'shape; >1 amortizes per-dispatch RTT over '
@@ -108,14 +112,25 @@ def main(argv=None):
     key = jax.random.PRNGKey(a.seed)
     params = load_generator_params(a.checkpoint, model, world, cfg, key)
 
-    if a.style:
-        # re-render a saved scene appearance (`inference_givenstyle`
-        # persists style.npy, `scenedreamer.py:479-632`)
-        import numpy as np
-        style = jnp.asarray(np.load(a.style).reshape(1, cfg.style_dims))
-    else:
-        style = jax.random.normal(jax.random.PRNGKey(a.seed),
-                                  (1, cfg.style_dims))
+    import numpy as np
+
+    def one_style(spec, seed):
+        if spec.startswith('seed:'):
+            return jax.random.normal(jax.random.PRNGKey(int(spec[5:])),
+                                     (1, cfg.style_dims))
+        if spec:
+            # re-render a saved scene appearance (`inference_givenstyle`
+            # persists style.npy, `scenedreamer.py:479-632`)
+            return jnp.asarray(np.load(spec).reshape(1, cfg.style_dims))
+        return jax.random.normal(jax.random.PRNGKey(seed),
+                                 (1, cfg.style_dims))
+
+    style = one_style(a.style, a.seed)
+    if a.style2:
+        s2 = one_style(a.style2, a.seed + 1)
+        t = np.linspace(0.0, 1.0, max(a.cam_maxstep, 2))[:, None]
+        style = jnp.asarray((1.0 - t) * np.asarray(style)
+                            + t * np.asarray(s2))
     os.makedirs(a.output_dir, exist_ok=True)
     mesh = None
     if a.mesh_tiles:

@@ -391,7 +391,17 @@ def render_trajectory(model, params, world, style, output_dir,
                         [..., None], 3, -1))
     np.save(os.path.join(output_dir, 'style.npy'), np.asarray(style))
 
-    z = renderer.style_z(style)
+    # style interpolation: a [F, style_dims] style renders frame i
+    # with its own appearance (paper-demo capability; the reference's
+    # inference uses one fixed z, `scenedreamer.py:479`)
+    style_arr = np.asarray(style)
+    per_frame_z = None
+    if style_arr.ndim == 2 and style_arr.shape[0] > 1:
+        per_frame_z = [renderer.style_z(jnp.asarray(style_arr[i:i + 1]))
+                       for i in range(style_arr.shape[0])]
+        z = per_frame_z[0]
+    else:
+        z = renderer.style_z(style.reshape(1, -1))
     ctl = EvalCameraController(
         world, maxstep=cam_maxstep, pattern=camera_mode, cam_ang=cam_ang,
         smooth_decay_multiplier=150.0 / cam_maxstep)
@@ -430,7 +440,9 @@ def render_trajectory(model, params, world, style, output_dir,
     # serially, `scenedreamer.py:573-631`)
     prev = None
     for i, pose in enumerate(ctl):
-        mat = renderer.frame_async(pose, z,
+        zi = per_frame_z[min(i, len(per_frame_z) - 1)] \
+            if per_frame_z else z
+        mat = renderer.frame_async(pose, zi,
                                    key=jax.random.PRNGKey(seed + i),
                                    return_aux=save_depth)
         if prev is not None:
