@@ -112,16 +112,16 @@ def main(argv=None):
     key = jax.random.PRNGKey(a.seed)
     params = load_generator_params(a.checkpoint, model, world, cfg, key)
 
-    import numpy as np
-
     def one_style(spec, seed):
         if spec.startswith('seed:'):
             return jax.random.normal(jax.random.PRNGKey(int(spec[5:])),
                                      (1, cfg.style_dims))
         if spec:
             # re-render a saved scene appearance (`inference_givenstyle`
-            # persists style.npy, `scenedreamer.py:479-632`)
-            return jnp.asarray(np.load(spec).reshape(1, cfg.style_dims))
+            # persists style.npy, `scenedreamer.py:479-632`); a saved
+            # interpolated run is [F, style_dims] — passed through
+            return jnp.asarray(
+                np.load(spec).reshape(-1, cfg.style_dims))
         return jax.random.normal(jax.random.PRNGKey(seed),
                                  (1, cfg.style_dims))
 
@@ -129,8 +129,8 @@ def main(argv=None):
     if a.style2:
         s2 = one_style(a.style2, a.seed + 1)
         t = np.linspace(0.0, 1.0, max(a.cam_maxstep, 2))[:, None]
-        style = jnp.asarray((1.0 - t) * np.asarray(style)
-                            + t * np.asarray(s2))
+        style = jnp.asarray((1.0 - t) * np.asarray(style[:1])
+                            + t * np.asarray(s2[:1]))
     os.makedirs(a.output_dir, exist_ok=True)
     mesh = None
     if a.mesh_tiles:

@@ -99,8 +99,11 @@ def main(argv=None):
     elif aug_ops:
         augment = {k: (tuple(v) if isinstance(v, (list, tuple)) else v)
                    for k, v in aug_ops.items()}
+        rs = augment.get('resize_smallest_side')
         crop = tuple(augment.get('random_crop_h_w')
-                     or augment.get('center_crop_h_w') or (256, 256))
+                     or augment.get('center_crop_h_w')
+                     or augment.get('resize_h_w')
+                     or ((rs, rs) if rs else (256, 256)))
     else:
         crop = (256, 256)
         augment = AugmentConfig(resize_smallest_side=crop[0],
@@ -109,8 +112,8 @@ def main(argv=None):
 
     # reference ladder = min(crop_h, crop_w) (`spade.py:43`), snapped
     # down to the nearest implemented tap ladder
-    default_out = max(256, min([s for s in (256, 512, 1024)
-                                if s <= max(image_size, 256)][-1], 1024))
+    default_out = [s for s in (256, 512, 1024)
+                   if s <= max(image_size, 256)][-1]
     gen_kwargs = dict(
         num_labels=int(gen_c.get('num_labels', 184)),
         out_size=a.out_size or int(

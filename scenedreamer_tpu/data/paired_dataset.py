@@ -194,18 +194,24 @@ class Augmentor:
                 th, tw = value['h'], value['w']
                 lo, hi = value['aspect_min'], value['aspect_max']
                 ratio = np.exp(rng.uniform(np.log(lo), np.log(hi)))
-                cw = min(w, int(round(np.sqrt(h * w * ratio))))
-                ch = min(h, int(round(np.sqrt(h * w / ratio))))
+                cw = np.sqrt(h * w * ratio)
+                ch = np.sqrt(h * w / ratio)
+                # scale BOTH dims into the image so the sampled aspect
+                # ratio is preserved (alb.RandomResizedCrop semantics)
+                s = min(1.0, w / cw, h / ch)
+                cw = max(1, int(round(cw * s)))
+                ch = max(1, int(round(ch * s)))
                 y0 = int(rng.integers(0, h - ch + 1))
                 x0 = int(rng.integers(0, w - cw + 1))
                 image = image[y0:y0 + ch, x0:x0 + cw]
                 seg = seg[y0:y0 + ch, x0:x0 + cw]
                 image, seg = self._resize(image, seg, th, tw)
             elif key == 'motion_blur':
-                # alb.MotionBlur: random-direction line kernel
+                # alb.MotionBlur: random-direction line kernel (odd
+                # sizes in [3, blur_limit], never exceeding the limit)
                 if rng.random() < value.get('p', 1.0):
-                    k = int(rng.integers(3, max(value['blur_limit'],
-                                                3) + 1)) | 1
+                    kmax = max(int(value['blur_limit']), 3)
+                    k = int(rng.choice(np.arange(3, kmax + 1, 2)))
                     kern = np.zeros((k, k), np.float32)
                     if rng.random() < 0.5:    # random orientation
                         kern[k // 2, :] = 1.0
@@ -220,7 +226,9 @@ class Augmentor:
             elif key == 'compression':
                 # alb.ImageCompression: JPEG encode/decode round trip
                 if rng.random() < value.get('p', 1.0):
-                    q = int(rng.integers(value['quality_lower'], 101))
+                    q = int(rng.integers(value['quality_lower'],
+                                         value.get('quality_upper',
+                                                   100) + 1))
                     ok, buf = cv2.imencode(
                         '.jpg', image,
                         [int(cv2.IMWRITE_JPEG_QUALITY), q])

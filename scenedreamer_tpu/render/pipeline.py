@@ -259,15 +259,20 @@ class TiledRenderer:
             img, dexp = self._tile_fn(self.params, vid, dep, hit,
                                       raydirs, cam_ori, z,
                                       self.global_enc, sky_avg, key)
+            # don't pin the big aux tensors on device across the
+            # depth-1 frame pipeline unless they're actually returned
+            aux = (dexp, vid) if return_aux else None
 
             def materialize_full():
-                if return_aux:
+                if aux is not None:
+                    dexp_a, vid_a = aux
                     return np.asarray(img[0]), {
-                        'depth': np.asarray(dexp[0]),
+                        'depth': np.asarray(dexp_a[0]),
                         'first_voxel_id': np.asarray(
-                            vid[0, self.pad // 2:h - self.pad + self.pad
-                                // 2, self.pad // 2:w - self.pad
-                                + self.pad // 2, 0]),
+                            vid_a[0, self.pad // 2:h - self.pad
+                                  + self.pad // 2,
+                                  self.pad // 2:w - self.pad
+                                  + self.pad // 2, 0]),
                     }
                 return np.asarray(img[0])
             return materialize_full
@@ -310,13 +315,17 @@ class TiledRenderer:
                     group_full, tile_in, vid, dep, hit, raydirs,
                     cam_ori, z, sky_avg, key)))
 
+        # _finish only reads vid for the aux voxel-id map: don't pin
+        # the [1,h,w,M] int32 frame on device across the frame pipeline
+        aux_vid = vid if return_aux else None
+
         def materialize_tiled():
             out = np.zeros((self.res[0], self.res[1], 3), np.float32)
             out_d = np.zeros((self.res[0], self.res[1]), np.float32)
             for group, (imgs, dexps) in pending:
                 self._stitch(out, out_d, np.asarray(imgs),
                              np.asarray(dexps), group)
-            return self._finish(out, out_d, vid, return_aux)
+            return self._finish(out, out_d, aux_vid, return_aux)
         return materialize_tiled
 
     def _dispatch_tiles(self, coords_full, tile_in, vid, dep, hit,
