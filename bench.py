@@ -206,6 +206,13 @@ def main():
                                           jax.random.PRNGKey(i))
             float(m['gen/total'])
             _log(f'warmup {i} done')
+        prof_dir = os.environ.get('BENCH_PROFILE', '')
+        if prof_dir:
+            with jax.profiler.trace(prof_dir):
+                state, m = trainer.train_step(state, batches[0],
+                                              jax.random.PRNGKey(7))
+                float(m['gen/total'])
+            _log(f'profile of one D+G step written to {prof_dir}')
         t0 = time.perf_counter()
         for _ in range(TIMED_REPS):
             for b in batches:

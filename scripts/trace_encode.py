@@ -46,14 +46,25 @@ def main():
         gt, gs = out
         return float(jnp.sum(gt)) + float(jnp.sum(gs))
 
+    @jax.jit
+    def fwd(t, s):
+        return jnp.sum(hg.hashgrid_encode_folded(spec, t, xyz, s))
+
     sync(step(table, scene))                   # compile
+    float(fwd(table, scene))
     t0 = time.time()
     sync(step(table, scene))
-    print(f'steady-state {time.time() - t0:.3f}s '
+    dt_fb = time.time() - t0
+    t0 = time.time()
+    float(fwd(table, scene))
+    print(f'steady-state fwd+bwd {dt_fb:.3f}s fwd {time.time() - t0:.3f}s '
           f'(variant={spec.hash_variant})', flush=True)
 
     jax.profiler.start_trace(LOGDIR)
     sync(step(table, scene))
+    jax.profiler.stop_trace()
+    jax.profiler.start_trace(LOGDIR + '_fwd')
+    float(fwd(table, scene))
     jax.profiler.stop_trace()
 
     files = sorted(glob.glob(LOGDIR + '/**/*.trace.json.gz',
