@@ -258,15 +258,110 @@ def segment_sum_sorted(upd, idx, num_segments):
             - jnp.take(c, start, axis=0)).astype(upd.dtype)
 
 
+# Corner-interpolation reduction form. The r3 HLO dump showed XLA
+# lowering `einsum('nk,nkc->nc')` in the level-scan body as 2^D
+# separate fusions, each materializing a [2^D, N, C] intermediate —
+# and the preference between forms FLIPS with context (all measured on
+# v5e, Aug 19 r3):
+#   * ISOLATED encode fwd+bwd: 'slices' (2^D static slice multiply-
+#     adds, one streaming fusion) wins 0.652 s vs einsum's 0.713 s.
+#   * ISOLATED encode fwd-only: einsum wins 0.655 s vs slices' 1.01 s.
+#   * IN-CONTEXT full tile grad step (the metric that ships): einsum
+#     wins 15445 rays/s vs slices' 12152 — the opposite of the
+#     isolated fwd+bwd — so 'einsum' is the default everywhere.
+# 'split' picks einsum in the primal / slices in the AD pair (the
+# per-program winner of the ISOLATED runs; useful for encode-only
+# workloads). The slice form adds ascending in k; einsum may associate
+# differently, so the forms agree to f32 rounding (~1e-9 abs, tested),
+# not bit-for-bit.
+INTERP_MODE = os.environ.get('SCENEDREAMER_INTERP', 'einsum')
+
+
+def _interp_sum(w, vals, grad_ctx):
+    """out[n, c] = sum_k w[n, k] * vals[n, k, c]."""
+    if INTERP_MODE == 'matmul':
+        # experimental: one elementwise product fusion + a [K*C, C]
+        # 0/1 selection matmul on the MXU (the k-sum rides the MXU
+        # accumulator instead of K accumulation fusions). HIGHEST
+        # precision; zeros contribute exactly, so accuracy matches the
+        # other forms to f32 rounding.
+        n, k, c = vals.shape
+        prod = (vals * w[..., None].astype(vals.dtype)).reshape(n, k * c)
+        sel = jnp.asarray(np.tile(np.eye(c, dtype=np.float32), (k, 1)))
+        return jax.lax.dot(prod, sel.astype(prod.dtype),
+                           precision=jax.lax.Precision.HIGHEST)
+    use_slices = (INTERP_MODE == 'slices'
+                  or (INTERP_MODE == 'split' and grad_ctx))
+    if not use_slices:
+        return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+    wk = w.astype(vals.dtype)
+    out = wk[:, 0, None] * vals[:, 0, :]
+    for k in range(1, vals.shape[1]):
+        out = out + wk[:, k, None] * vals[:, k, :]
+    return out
+
+
+def _interp_dw(g, vals):
+    """dw[n, k] = sum_c g[n, c] * vals[n, k, c] (grad context only)."""
+    if INTERP_MODE == 'einsum':
+        return jnp.einsum('nc,nkc->nk', g, vals)
+    gk = g.astype(vals.dtype)
+    return jnp.stack([jnp.sum(gk * vals[:, k, :], axis=-1)
+                      for k in range(vals.shape[1])], axis=-1)
+
+
+def _corner_idx_w(variant, pgu, frac, primes, size):
+    """Corner hash ids + trilinear weights WITHOUT the [N, 2^D, D]
+    intermediates.
+
+    The hash combine is separable per dimension (xor/add of per-dim
+    prime products), so each dimension contributes one of two
+    precomputed [N] arrays (base_d*P_d or (base_d+1)*P_d) per corner;
+    likewise each weight is a product of per-dim taps. The r3 HLO dump
+    showed the corner/weight build materializing [N, 2^D, D] tensors
+    whose minor D axis lane-pads (8,128) up to 42x; this form only ever
+    touches [N] columns and the final [N, 2^D] stacks. Bit-exact: same
+    u32 ops, same ascending-dimension combine/multiply order as
+    `_combine_hash` + `jnp.prod`.
+
+    pgu: [N, D] uint32 floor cell; frac: [N, D] f32; size: table slots
+    (int — bit-AND when a power of two, else modulo, matching the
+    `% size` of the generic path).
+    Returns idx [N, 2^D] int32 (reduced to [0, size)), w [N, 2^D] f32.
+    """
+    size = int(size)
+    pow2 = size & (size - 1) == 0
+    red = (lambda h: h & jnp.uint32(size - 1)) if pow2 else \
+        (lambda h: h % jnp.uint32(size))
+    d = pgu.shape[-1]
+    a0 = [pgu[:, dd] * primes[dd] for dd in range(d)]
+    a1 = [(pgu[:, dd] + jnp.uint32(1)) * primes[dd] for dd in range(d)]
+    t1 = [frac[:, dd] for dd in range(d)]
+    t0 = [1.0 - frac[:, dd] for dd in range(d)]
+    op = (lambda x, y: x + y) if variant == 'paired' else \
+        (lambda x, y: x ^ y)
+    idx_cols, w_cols = [], []
+    for k in range(2 ** d):
+        h = a1[0] if (k & 1) else a0[0]
+        wk = t1[0] if (k & 1) else t0[0]
+        for dd in range(1, d):
+            bit = (k >> dd) & 1
+            h = op(h, a1[dd] if bit else a0[dd])
+            wk = wk * (t1[dd] if bit else t0[dd])
+        idx_cols.append(red(h).astype(jnp.int32))
+        w_cols.append(wk)
+    return (jnp.stack(idx_cols, axis=-1), jnp.stack(w_cols, axis=-1))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_interp_impl(rows, tl, idx, w):
     vals = jnp.take(tl.astype(GATHER_DTYPE), idx, axis=0)  # [N, K, C]
-    return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+    return _interp_sum(w, vals, grad_ctx=False)
 
 
 def _gather_interp_fwd(rows, tl, idx, w):
     vals = jnp.take(tl.astype(GATHER_DTYPE), idx, axis=0)
-    out = jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+    out = _interp_sum(w, vals, grad_ctx=True)
     # the corner-index residual is saved FLAT: under the level lax.scan
     # the stacked [L, N, 2^D] s32 residual can get an XLA layout with
     # the 2^D axis minor, which tile-pads (8,128) 16x — 8.6 GB at
@@ -276,8 +371,15 @@ def _gather_interp_fwd(rows, tl, idx, w):
 
 def _gather_interp_bwd(rows, res, g):
     vals, idx_flat, w = res
-    dw = jnp.einsum('nc,nkc->nk', g, vals).astype(w.dtype)
-    upd = (w[..., None] * g[:, None, :]).reshape(-1, vals.shape[-1])
+    dw = _interp_dw(g, vals).astype(w.dtype)
+    if INTERP_MODE == 'einsum':
+        upd = (w[..., None] * g[:, None, :]).reshape(-1, vals.shape[-1])
+    else:
+        # same outer product, written as K static slice products so the
+        # build streams in one fusion (k-major rows match reshape(-1))
+        upd = jnp.concatenate(
+            [(w[:, k, None] * g)[:, None, :] for k in range(w.shape[1])],
+            axis=1).reshape(-1, vals.shape[-1])
     # table cotangent in the weights' (= master table's) dtype, NOT
     # g.dtype: under SCENEDREAMER_TABLE_GATHER=bfloat16 the cotangent
     # arrives bf16 but the master table and its gradient stay f32
@@ -458,12 +560,9 @@ def _encode_flat_scan(spec, table, x01):
         pos = x01 * scale + offset
         pos_grid = jnp.floor(pos)
         frac = pos - pos_grid
-        corner = pos_grid.astype(jnp.uint32)[:, None, :] + bits_j[None]
-        w = jnp.where(bits_j[None].astype(bool), frac[:, None, :],
-                      1.0 - frac[:, None, :])
-        w = jnp.prod(w, axis=-1)                              # [N, 2^D]
-        h = _combine_hash(spec.hash_variant, corner, primes)
-        idx = (h % jnp.uint32(size)).astype(jnp.int32)
+        idx, w = _corner_idx_w(spec.hash_variant,
+                               pos_grid.astype(jnp.uint32), frac,
+                               primes, size)
         out_l = gather_interp(tl, idx, w)
         return carry, out_l
 
@@ -624,12 +723,13 @@ _SPLAT_DTYPE = jnp.bfloat16 if os.environ.get(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _splat_interp(static, tl, pos_grid, frac, perm, start, end):
-    return _splat_gather(static, tl, pos_grid, frac)
+    return _splat_gather(static, tl, pos_grid, frac, grad_ctx=False)
 
 
-def _splat_gather(static, tl, pos_grid, frac):
+def _splat_gather(static, tl, pos_grid, frac, grad_ctx):
     """Forward: identical math to `gather_interp` (hash + 2^3 corner
-    gathers, or the paired two-row slices); only the VJP differs."""
+    gathers, or the paired two-row slices); only the VJP differs.
+    `grad_ctx` picks the interp-sum form per program (see INTERP_MODE)."""
     size, _, variant = static
     d = pos_grid.shape[-1]
     primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
@@ -637,19 +737,14 @@ def _splat_gather(static, tl, pos_grid, frac):
         return _paired_corner_fetch(tl, jnp.uint32(size - 1),
                                     pos_grid.astype(jnp.uint32), frac,
                                     primes)
-    bits = jnp.asarray(_corner_bits(d), jnp.int32)
-    corner = pos_grid[:, None, :] + bits[None]               # [N, 2^D, D]
-    w = jnp.where(bits[None].astype(bool), frac[:, None, :],
-                  1.0 - frac[:, None, :])
-    w = jnp.prod(w, axis=-1)
-    h = _combine_hash(variant, corner.astype(jnp.uint32), primes)
-    idx = (h & jnp.uint32(size - 1)).astype(jnp.int32)
+    idx, w = _corner_idx_w(variant, pos_grid.astype(jnp.uint32), frac,
+                           primes, size)
     vals = jnp.take(tl.astype(GATHER_DTYPE), idx, axis=0)
-    return jnp.einsum('nk,nkc->nc', w.astype(vals.dtype), vals)
+    return _interp_sum(w, vals, grad_ctx=grad_ctx)
 
 
 def _splat_fwd(static, tl, pos_grid, frac, perm, start, end):
-    out = _splat_gather(static, tl, pos_grid, frac)
+    out = _splat_gather(static, tl, pos_grid, frac, grad_ctx=True)
     return out, (tl, pos_grid, frac, perm, start, end)
 
 
@@ -733,7 +828,7 @@ def _splat_bwd(static, res, g):
     h = _combine_hash(variant, corner.astype(jnp.uint32), primes)
     idx = (h & jnp.uint32(size - 1)).astype(jnp.int32)
     vals = jnp.take(tl, idx, axis=0)                      # [N, K, C]
-    gv = jnp.einsum('nc,nkc->nk', g, vals)                # [N, K]
+    gv = _interp_dw(g, vals)                              # [N, K]
     bit_on = bits[None].astype(bool)                      # [1, K, D]
     t = jnp.where(bit_on, frac[:, None, :],
                   1.0 - frac[:, None, :])                 # [N, K, D]
@@ -830,12 +925,8 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
                                          pg.astype(jnp.uint32), frac,
                                          primes_p)
             return carry, out_l
-        corner = pg.astype(jnp.uint32)[:, None, :] + bits_p[None]
-        w = jnp.where(bits_p[None].astype(bool), frac[:, None, :],
-                      1.0 - frac[:, None, :])
-        w = jnp.prod(w, axis=-1)                              # [N, 2^Dp]
-        h = _combine_hash(variant, corner, primes_p)
-        idx = (h & mask).astype(jnp.int32)
+        idx, w = _corner_idx_w(variant, pg.astype(jnp.uint32), frac,
+                               primes_p, size)
         out_l = gather_interp(baked, idx, w)
         return carry, out_l
 

@@ -475,3 +475,33 @@ def test_shift_bake_matches_direct(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(g[1]), np.asarray(gr[1]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_interp_modes_agree(monkeypatch):
+    """'split' / 'slices' / 'einsum' interp forms agree to f32 rounding
+    (einsum contracts in a different association order, so agreement is
+    ~1e-9 absolute, not bit-exact; the custom_vjp picks per-program
+    winners on TPU and accuracy must not depend on the knob)."""
+    from scenedreamer_tpu.ops import hashgrid as hg
+    spec = hg.HashGridSpec.create(input_dim=5, num_levels=4, level_dim=8,
+                                  log2_hashmap_size=12,
+                                  desired_resolution=256)
+    t = hg.init_hashgrid_table(jax.random.PRNGKey(0), spec)
+    xyz = jax.random.uniform(jax.random.PRNGKey(1), (777, 3),
+                             minval=-0.9, maxval=0.9)
+    sc = jnp.asarray([0.1, -0.3])
+
+    def run():
+        out = hg.hashgrid_encode_folded(spec, t, xyz, sc)
+        g = jax.grad(lambda tt, ss: jnp.sum(
+            hg.hashgrid_encode_folded(spec, tt, xyz, ss) ** 2),
+            argnums=(0, 1))(t, sc)
+        return (np.asarray(out), np.asarray(g[0]), np.asarray(g[1]))
+
+    results = {}
+    for mode in ('split', 'slices', 'einsum'):
+        monkeypatch.setattr(hg, 'INTERP_MODE', mode)
+        results[mode] = run()
+    for mode in ('slices', 'einsum'):
+        for a, b in zip(results['split'], results[mode]):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-7)
