@@ -279,17 +279,6 @@ INTERP_MODE = os.environ.get('SCENEDREAMER_INTERP', 'einsum')
 
 def _interp_sum(w, vals, grad_ctx):
     """out[n, c] = sum_k w[n, k] * vals[n, k, c]."""
-    if INTERP_MODE == 'matmul':
-        # experimental: one elementwise product fusion + a [K*C, C]
-        # 0/1 selection matmul on the MXU (the k-sum rides the MXU
-        # accumulator instead of K accumulation fusions). HIGHEST
-        # precision; zeros contribute exactly, so accuracy matches the
-        # other forms to f32 rounding.
-        n, k, c = vals.shape
-        prod = (vals * w[..., None].astype(vals.dtype)).reshape(n, k * c)
-        sel = jnp.asarray(np.tile(np.eye(c, dtype=np.float32), (k, 1)))
-        return jax.lax.dot(prod, sel.astype(prod.dtype),
-                           precision=jax.lax.Precision.HIGHEST)
     use_slices = (INTERP_MODE == 'slices'
                   or (INTERP_MODE == 'split' and grad_ctx))
     if not use_slices:

@@ -23,6 +23,7 @@ Returns flat-ray arrays; `ray_voxel_intersection_perspective` reshapes to
 the reference's [H, W, ...] layout.
 """
 import functools
+import os
 
 import numpy as np
 import jax
@@ -71,12 +72,30 @@ def _aabb_enter_t(ori, dirs, dims):
     return t0, possible
 
 
+# Hierarchical empty-space skipping (HashPoint / VDB-style, TPU-native).
+# Each loop iteration performs one normal DDA step, then up to
+# EMPTY_SKIP_STEPS extra axis steps for rays whose current coarse cell
+# (EMPTY_SKIP_FACTOR^3 fine voxels) is entirely empty — pure VPU work
+# with NO voxel gather and NO hit recording. Bit-exact by construction:
+# `crossing_t` is a stateless function of the integer voxel coordinate,
+# so the skipped states are exactly the states the sequential loop
+# visits, every skipped voxel is provably empty (nothing to record),
+# and sub-steps never leave the coarse cell (boundary transitions go
+# through the normal gathered step). The win is iteration count: the
+# lockstep loop runs until the WORST ray finishes, and worst rays cross
+# long air spans. 0 disables.
+EMPTY_SKIP_STEPS = int(os.environ.get('SCENEDREAMER_DDA_SKIP', '8'))
+EMPTY_SKIP_FACTOR = 8
+_SKIP_SHIFT = EMPTY_SKIP_FACTOR.bit_length() - 1
+
+
 @functools.partial(jax.jit,
-                   static_argnames=('max_samples', 'max_steps'))
+                   static_argnames=('max_samples', 'max_steps',
+                                    'empty_skip'))
 def _ray_voxel_chunk_jit(voxel, cam_ori, raydirs, max_samples,
-                         max_steps=None):
+                         max_steps=None, empty_skip=EMPTY_SKIP_STEPS):
     return _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
-                            max_steps)
+                            max_steps, empty_skip)
 
 
 AUTO_CHUNK_RAYS = 1 << 20        # rays per dispatch in 'auto' mode
@@ -84,7 +103,8 @@ AUTO_CHUNK_THRESHOLD = 2 << 20   # single-dispatch above this crashes
 
 
 def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
-                           max_steps=None, chunk='auto'):
+                           max_steps=None, chunk='auto',
+                           wavefront='auto'):
     """Traverse the grid; record the first `max_samples` solid intervals.
 
     Args:
@@ -115,6 +135,25 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
         depth: [R, M, 2] float32 entry/exit t (0 where no hit).
         hit_mask: [R, M] bool.
     """
+    if wavefront is True or (
+            wavefront == 'auto'
+            and raydirs.shape[0] > AUTO_CHUNK_THRESHOLD):
+        # giant frames: 1M-ray chunks, each traversed as short
+        # re-dispatched waves with survivor compaction — finished rays
+        # stop paying the per-iteration voxel gather (see
+        # `ray_voxel_wavefront`). A single 8.3M-ray wave program
+        # crashes the TPU worker (same kernel fault as the monolithic
+        # 8.3M program), so the chunk cap stays.
+        r = raydirs.shape[0]
+        c = AUTO_CHUNK_RAYS
+        pad = (-r) % c
+        rd = jnp.pad(raydirs, ((0, pad), (0, 0))).reshape(-1, c, 3)
+        outs = [ray_voxel_wavefront(voxel, cam_ori, rd[i], max_samples,
+                                    max_steps=max_steps)
+                for i in range(rd.shape[0])]
+        return (jnp.concatenate([o[0] for o in outs])[:r],
+                jnp.concatenate([o[1] for o in outs])[:r],
+                jnp.concatenate([o[2] for o in outs])[:r])
     if chunk == 'auto':
         chunk = AUTO_CHUNK_RAYS \
             if raydirs.shape[0] > AUTO_CHUNK_THRESHOLD else None
@@ -134,8 +173,33 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
                                 max_steps)
 
 
+def _coarse_dims(dims_i):
+    f = EMPTY_SKIP_FACTOR
+    return tuple((d + f - 1) // f for d in dims_i)
+
+
+def build_occupancy(voxel):
+    """Coarse any-occupied grid: one bool per EMPTY_SKIP_FACTOR^3 fine
+    voxels. The minor (Z) axis is reduced with a strided-slice OR, NOT
+    a [..., Zc, f] reshape: a pred tensor with a minor f=8 axis gets
+    (8,128)-tile-padded 16x — 15 GB at scene 2048 (measured OOM). The
+    Y/X block axes reshape safely because the minor dim stays the
+    (large) coarse Z."""
+    dims_i = voxel.shape
+    f = EMPTY_SKIP_FACTOR
+    cdims = _coarse_dims(dims_i)
+    vp = jnp.pad(voxel, [(0, cd * f - d)
+                         for cd, d in zip(cdims, dims_i)])
+    b = vp != 0                                   # [Yp, Xp, Zp]
+    acc = b[:, :, 0::f]
+    for k in range(1, f):
+        acc = acc | b[:, :, k::f]                 # [Yp, Xp, Zc]
+    return jnp.any(acc.reshape(cdims[0], f, cdims[1], f, cdims[2]),
+                   axis=(1, 3))
+
+
 def _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
-                     max_steps=None):
+                     max_steps=None, empty_skip=EMPTY_SKIP_STEPS):
     dims_i = voxel.shape
     if max_steps is None:
         max_steps = int(dims_i[0] + dims_i[1] + dims_i[2]) + 2
@@ -143,7 +207,7 @@ def _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
     r = raydirs.shape[0]
     m = max_samples
 
-    voxel_flat = voxel.reshape(-1)
+    occ = build_occupancy(voxel) if empty_skip else None
     ori = cam_ori.astype(jnp.float32)
     dirs = raydirs.astype(jnp.float32)
 
@@ -151,46 +215,199 @@ def _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
     start = ori[None, :] + t0[:, None] * dirs
     pos = jnp.floor(start).astype(jnp.int32)                     # [R, 3]
 
-    pos_step = jnp.where(dirs > 0, 1, -1).astype(jnp.int32)
-    safe_dir = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
-
-    def crossing_t(p):
-        """t of next crossing for each axis given current voxel p."""
-        target = jnp.where(dirs > 0, p.astype(jnp.float32) + 1.0,
-                           p.astype(jnp.float32))
-        t = (target - ori[None, :]) / safe_dir
-        return jnp.where(jnp.abs(dirs) < 1e-12, jnp.inf, t)
-
-    axis_t = crossing_t(pos)
+    axis_t = _crossing_t_init(ori, dirs, pos)
 
     out_id = jnp.zeros((r, m), jnp.int32)
     out_t = jnp.zeros((r, m, 2), jnp.float32)
     cnt = jnp.zeros((r,), jnp.int32)
-    active = possible
+
+    state = (possible, pos, axis_t, cnt, out_id, out_t)
+    _, _, _, cnt, out_id, out_t = _dda_run(
+        voxel, occ, ori, dirs, state, m, max_steps, empty_skip)
+    hit_mask = jnp.arange(m, dtype=jnp.int32)[None, :] < cnt[:, None]
+    return out_id, out_t, hit_mask
+
+
+def _dda_init(dims_i, ori, dirs):
+    dims = jnp.asarray(dims_i, jnp.float32)
+    t0, possible = _aabb_enter_t(ori, dirs, dims)
+    start = ori[None, :] + t0[:, None] * dirs
+    pos = jnp.floor(start).astype(jnp.int32)
+    return possible, pos, _crossing_t_init(ori, dirs, pos)
+
+
+_dda_init_jit = jax.jit(_dda_init, static_argnums=0)
+_occupancy_jit = jax.jit(build_occupancy)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('max_samples', 'steps', 'empty_skip'))
+def _dda_wave_jit(voxel, occ, cam_ori, raydirs, state, max_samples,
+                  steps, empty_skip):
+    return _dda_run(voxel, occ, cam_ori, raydirs, state, max_samples,
+                    steps, empty_skip)
+
+
+def ray_voxel_wavefront(voxel, cam_ori, raydirs, max_samples,
+                        wave=256, max_steps=None,
+                        empty_skip=None, min_rows=1 << 17,
+                        compact_frac=0.5):
+    """Wavefront DDA: the lockstep loop is dispatched in short waves
+    and the surviving rays are COMPACTED between waves (host decides,
+    device gathers), so dead rays stop paying the per-iteration voxel
+    gather — the TPU-native equivalent of the SIMT early exit the
+    reference CUDA kernel gets for free (`ray_voxel_intersection.cu`:
+    one thread per pixel simply returns). Hit recording is bit-exact
+    vs the monolithic loop: `crossing_t` is a pure function of the
+    integer voxel coordinate, so a re-dispatched ray continues through
+    exactly the states the monolithic loop would visit.
+
+    Results are reassembled ON DEVICE by one sort over the original
+    ray index (the axon tunnel's D2H is ~16 MB/s — bulk fetches are
+    prohibitive; per-wave host traffic is one scalar + one bool mask).
+
+    Returns (voxel_id [R, M] s32, depth [R, M, 2] f32, hit_mask [R, M]).
+    """
+    if empty_skip is None:
+        empty_skip = EMPTY_SKIP_STEPS
+    dims_i = voxel.shape
+    if max_steps is None:
+        max_steps = int(dims_i[0] + dims_i[1] + dims_i[2]) + 2
+    occ = _occupancy_jit(voxel) if empty_skip else None
+    r_total = raydirs.shape[0]
+    m = max_samples
+    ori = jnp.asarray(cam_ori, jnp.float32)
+    dirs = jnp.asarray(raydirs, jnp.float32)
+
+    active, pos, axis_t = _dda_init_jit(dims_i, ori, dirs)
+    state = (active, pos, axis_t,
+             jnp.zeros((r_total,), jnp.int32),
+             jnp.zeros((r_total, m), jnp.int32),
+             jnp.zeros((r_total, m, 2), jnp.float32))
+    idx = jnp.arange(r_total, dtype=jnp.int32)   # orig ray id per row
+    stash = []          # retired rows: (idx, cnt, out_id, out_t)
+    total = 0
+    while True:
+        state = _dda_wave_jit(voxel, occ, ori, dirs, state, m, wave,
+                              empty_skip)
+        total += wave
+        n_active = int(jnp.sum(state[0]))
+        rows = state[0].shape[0]
+        if n_active == 0 or total >= max_steps:
+            stash.append((idx, state[3], state[4], state[5]))
+            break
+        if n_active > compact_frac * rows or rows <= min_rows:
+            continue
+        bucket = max(min_rows, 1 << max(n_active - 1, 1).bit_length())
+        if bucket >= rows:
+            continue
+        amask = np.asarray(state[0])             # [rows] bool, small
+        keep = np.nonzero(amask)[0].astype(np.int32)
+        done = np.nonzero(~amask)[0].astype(np.int32)
+        done_d = jnp.asarray(done)
+        stash.append((jnp.take(idx, done_d),
+                      jnp.take(state[3], done_d),
+                      jnp.take(state[4], done_d, axis=0),
+                      jnp.take(state[5], done_d, axis=0)))
+        pad = bucket - len(keep)
+        sel = jnp.asarray(np.concatenate(
+            [keep, np.zeros(pad, np.int32)]))
+        live = jnp.arange(bucket, dtype=jnp.int32) < len(keep)
+        dirs = jnp.take(dirs, sel, axis=0)
+        # padding rows carry the sentinel id r_total: the final sort
+        # pushes them past every real ray and the [:R] slice drops them
+        idx = jnp.where(live, jnp.take(idx, sel), jnp.int32(r_total))
+        state = (jnp.take(state[0], sel) & live,
+                 jnp.take(state[1], sel, axis=0),
+                 jnp.take(state[2], sel, axis=0),
+                 jnp.take(state[3], sel),
+                 jnp.take(state[4], sel, axis=0),
+                 jnp.take(state[5], sel, axis=0))
+
+    idx_all = jnp.concatenate([s[0] for s in stash])
+    cnt_all = jnp.concatenate([s[1] for s in stash])
+    oid_all = jnp.concatenate([s[2] for s in stash], axis=0)
+    ot_all = jnp.concatenate([s[3] for s in stash], axis=0) \
+        .reshape(idx_all.shape[0], 2 * m)
+    cols = [oid_all[:, c] for c in range(m)] \
+        + [ot_all[:, c] for c in range(2 * m)]
+    ops = jax.lax.sort([idx_all, cnt_all] + cols, num_keys=1)
+    cnt = ops[1][:r_total]
+    out_id = jnp.stack(ops[2:2 + m], axis=-1)[:r_total]
+    out_t = jnp.stack(ops[2 + m:], axis=-1)[:r_total].reshape(
+        r_total, m, 2)
+    hit_mask = jnp.arange(m, dtype=jnp.int32)[None, :] < cnt[:, None]
+    return out_id, out_t, hit_mask
+
+
+def _crossing_t_init(ori, dirs, pos):
+    safe_dir = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+    inv_dir = 1.0 / safe_dir
+    target = jnp.where(dirs > 0, pos.astype(jnp.float32) + 1.0,
+                       pos.astype(jnp.float32))
+    t = (target - ori[None, :]) * inv_dir
+    return jnp.where(jnp.abs(dirs) < 1e-12, jnp.inf, t)
+
+
+def _dda_run(voxel, occ, cam_ori, raydirs, state, max_samples, steps,
+             empty_skip):
+    """Run the lockstep DDA loop for up to `steps` iterations from
+    `state` = (active, pos, axis_t, cnt, out_id, out_t); returns the
+    same tuple. The loop exits early when every ray is inactive, so
+    callers can re-invoke from the returned state (the wavefront path)
+    with bit-identical results to one monolithic run — `crossing_t` is
+    a pure function of the integer voxel coordinate."""
+    dims_i = voxel.shape
+    m = max_samples
+    voxel_flat = voxel.reshape(-1)
+    occ_flat = occ.reshape(-1) if occ is not None else None
+    cdims = _coarse_dims(dims_i)
+    ori = cam_ori.astype(jnp.float32)
+    dirs = raydirs.astype(jnp.float32)
+
+    pos_step = jnp.where(dirs > 0, 1, -1).astype(jnp.int32)
+    safe_dir = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+    inv_dir = 1.0 / safe_dir           # hoisted: mul beats div in the
+    degenerate = jnp.abs(dirs) < 1e-12  # per-step crossing math
+
+    def crossing_t(p):
+        """t of next crossing for each axis given current voxel p.
+        Stateless in t (a pure function of the integer voxel) — the
+        invariant the empty-skip and wavefront paths' bit-exactness
+        rests on."""
+        target = jnp.where(dirs > 0, p.astype(jnp.float32) + 1.0,
+                           p.astype(jnp.float32))
+        t = (target - ori[None, :]) * inv_dir
+        return jnp.where(degenerate, jnp.inf, t)
 
     slot_iota = jnp.arange(m, dtype=jnp.int32)[None, :]          # [1, M]
 
     def cond(state):
         step, active, *_ = state
-        return (step < max_steps) & jnp.any(active)
+        return (step < steps) & jnp.any(active)
 
-    def body(state):
-        step, active, pos, axis_t, cnt, out_id, out_t = state
-
+    def axis_step(pos, axis_t):
+        """One DDA axis step: returns (tnow, new_pos, new_axis_t,
+        quit_). Stateless in t (crossing_t depends only on the integer
+        voxel), which is what makes the empty-skip path bit-exact."""
         t0_, t1_, t2_ = axis_t[:, 0], axis_t[:, 1], axis_t[:, 2]
         sel0 = (t0_ <= t1_) & (t0_ <= t2_)
         sel1 = (~sel0) & (t1_ <= t2_)
         sel2 = (~sel0) & (~sel1)
         sel = jnp.stack([sel0, sel1, sel2], axis=-1)             # [R, 3]
         tnow = jnp.min(axis_t, axis=-1)                          # [R]
-
         new_pos = pos + jnp.where(sel, pos_step, 0)
         # quit: the stepped axis left the grid in the travel direction
         oob_dir = ((dirs > 0) & (new_pos >= jnp.asarray(dims_i)[None, :])) \
             | ((dirs <= 0) & (new_pos < 0))
         quit_ = jnp.any(sel & oob_dir, axis=-1)
-
         new_axis_t = jnp.where(sel, crossing_t(new_pos), axis_t)
+        return tnow, new_pos, new_axis_t, quit_
+
+    def body(state):
+        step, active, pos, axis_t, cnt, out_id, out_t = state
+
+        tnow, new_pos, new_axis_t, quit_ = axis_step(pos, axis_t)
         t_exit = jnp.min(new_axis_t, axis=-1)
 
         inb = jnp.all((new_pos >= 0)
@@ -211,13 +428,33 @@ def _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
         cnt = cnt + hit.astype(jnp.int32)
         active = active & (~quit_) & (cnt < m)
 
+        if empty_skip:
+            # rays sitting in a fully-empty coarse cell take extra
+            # gather-free axis steps while they stay inside that cell
+            # >> is floor-division for the power-of-two factor (and
+            # far cheaper than an integer divide inside the loop)
+            ccell = new_pos >> _SKIP_SHIFT                       # [R, 3]
+            cflat = (ccell[:, 0] * (cdims[1] * cdims[2])
+                     + ccell[:, 1] * cdims[2] + ccell[:, 2])
+            cflat = jnp.clip(cflat, 0, occ_flat.shape[0] - 1)
+            cell_empty = ~jnp.take(occ_flat, cflat, axis=0)
+            skip_ok = active & inb & cell_empty
+            for _ in range(empty_skip):
+                _, cand_pos, cand_axis_t, cand_quit = axis_step(
+                    new_pos, new_axis_t)
+                same_cell = jnp.all(
+                    cand_pos >> _SKIP_SHIFT == ccell, axis=-1)
+                adv = (skip_ok & same_cell & ~cand_quit)[:, None]
+                new_pos = jnp.where(adv, cand_pos, new_pos)
+                new_axis_t = jnp.where(adv, cand_axis_t, new_axis_t)
+
         return step + 1, active, new_pos, new_axis_t, cnt, out_id, out_t
 
-    state = (jnp.int32(0), active, pos, axis_t, cnt, out_id, out_t)
-    _, _, _, _, cnt, out_id, out_t = jax.lax.while_loop(cond, body, state)
-
-    hit_mask = slot_iota < cnt[:, None]
-    return out_id, out_t, hit_mask
+    active, pos, axis_t, cnt, out_id, out_t = state
+    st = (jnp.int32(0), active, pos, axis_t, cnt, out_id, out_t)
+    _, active, pos, axis_t, cnt, out_id, out_t = jax.lax.while_loop(
+        cond, body, st)
+    return active, pos, axis_t, cnt, out_id, out_t
 
 
 def ray_voxel_intersection_perspective(voxel, cam_ori, cam_dir, cam_up,

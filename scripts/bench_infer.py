@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 import jax
+from scenedreamer_tpu.utils.misc import enable_compilation_cache
+enable_compilation_cache()
+
 
 
 def main():

@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax
+from scenedreamer_tpu.utils.misc import enable_compilation_cache
+enable_compilation_cache()
+
 import jax.numpy as jnp
 
 from scenedreamer_tpu.ops import hashgrid as hg

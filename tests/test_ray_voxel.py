@@ -130,3 +130,55 @@ def test_chunked_dispatch_matches_single():
     chk = ray_voxel_intersection(jnp.asarray(vox), ori, rd, 4, chunk=37)
     for a, b in zip(ref, chk):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_empty_skip_bit_exact():
+    """Hierarchical empty-space skipping returns BIT-identical outputs
+    to the plain lockstep DDA: `crossing_t` is a stateless function of
+    the integer voxel coordinate, and skipped voxels are provably empty
+    (their coarse cell is empty), so the recorded intervals must match
+    exactly — including entry/exit t floats."""
+    from scenedreamer_tpu.ops import ray_voxel as rv
+    rng = np.random.default_rng(7)
+    # sparse world: a few solid voxels + a floor slab, lots of air
+    dims = (48, 64, 56)
+    vox = np.zeros(dims, np.int8)
+    vox[:4] = 3                                        # ground slab
+    solid = rng.integers(0, np.asarray(dims) - 1, (40, 3))
+    vox[solid[:, 0], solid[:, 1], solid[:, 2]] = 5
+    ori = jnp.asarray([30.0, -10.0, 20.0])
+    th = rng.uniform(0, np.pi, 300)
+    ph = rng.uniform(0, 2 * np.pi, 300)
+    dirs = jnp.asarray(np.stack([np.cos(th), np.sin(th) * np.cos(ph),
+                                 np.sin(th) * np.sin(ph)], -1),
+                       jnp.float32)
+    a = rv._ray_voxel_chunk_jit(jnp.asarray(vox), ori, dirs, 6,
+                                empty_skip=0)
+    b = rv._ray_voxel_chunk_jit(jnp.asarray(vox), ori, dirs, 6,
+                                empty_skip=8)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_wavefront_bit_exact():
+    """Wavefront (wave re-dispatch + survivor compaction + sort-based
+    reassembly) returns BIT-identical outputs to the monolithic loop."""
+    from scenedreamer_tpu.ops import ray_voxel as rv
+    rng = np.random.default_rng(11)
+    dims = (40, 56, 48)
+    vox = np.zeros(dims, np.int8)
+    vox[:3] = 2
+    solid = rng.integers(0, np.asarray(dims) - 1, (60, 3))
+    vox[solid[:, 0], solid[:, 1], solid[:, 2]] = 7
+    ori = jnp.asarray([25.0, -8.0, 12.0])
+    th = rng.uniform(0, np.pi, 5000)
+    ph = rng.uniform(0, 2 * np.pi, 5000)
+    dirs = jnp.asarray(np.stack([np.cos(th), np.sin(th) * np.cos(ph),
+                                 np.sin(th) * np.sin(ph)], -1),
+                       jnp.float32)
+    a = rv._ray_voxel_chunk_jit(jnp.asarray(vox), ori, dirs, 5)
+    # tiny wave + low min_rows to force several compactions
+    b = rv.ray_voxel_wavefront(jnp.asarray(vox), ori, dirs, 5,
+                               wave=16, min_rows=256)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
