@@ -84,9 +84,19 @@ def _aabb_enter_t(ori, dirs, dims):
 # through the normal gathered step). The win is iteration count: the
 # lockstep loop runs until the WORST ray finishes, and worst rays cross
 # long air spans. 0 disables.
-EMPTY_SKIP_STEPS = int(os.environ.get('SCENEDREAMER_DDA_SKIP', '8'))
+# 'auto' = 8 sub-steps for normal grids, 16 for giant (>=1024-side)
+# grids — measured: standard frame 1.47 s @8 vs 1.50 s @16; stress
+# frame 84.0 s @8 vs 73.8 s @16 (air spans scale with the grid).
+_SKIP_ENV = os.environ.get('SCENEDREAMER_DDA_SKIP', 'auto')
+EMPTY_SKIP_STEPS = 8 if _SKIP_ENV == 'auto' else int(_SKIP_ENV)
 EMPTY_SKIP_FACTOR = 8
 _SKIP_SHIFT = EMPTY_SKIP_FACTOR.bit_length() - 1
+
+
+def _auto_skip(dims_i):
+    if _SKIP_ENV != 'auto':
+        return int(_SKIP_ENV)
+    return 16 if max(dims_i) >= 1024 else 8
 
 
 @functools.partial(jax.jit,
@@ -154,6 +164,7 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
         return (jnp.concatenate([o[0] for o in outs])[:r],
                 jnp.concatenate([o[1] for o in outs])[:r],
                 jnp.concatenate([o[2] for o in outs])[:r])
+    skip = _auto_skip(voxel.shape)
     if chunk == 'auto':
         chunk = AUTO_CHUNK_RAYS \
             if raydirs.shape[0] > AUTO_CHUNK_THRESHOLD else None
@@ -163,14 +174,15 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
         rd = jnp.pad(raydirs, ((0, pad), (0, 0)))
         rd = rd.reshape(-1, chunk, 3)
         outs = [_ray_voxel_chunk_jit(voxel, cam_ori, rd[i],
-                                     max_samples, max_steps)
+                                     max_samples, max_steps,
+                                     empty_skip=skip)
                 for i in range(rd.shape[0])]
         vid = jnp.concatenate([o[0] for o in outs], axis=0)
         dep = jnp.concatenate([o[1] for o in outs], axis=0)
         hit = jnp.concatenate([o[2] for o in outs], axis=0)
         return vid[:r], dep[:r], hit[:r]
     return _ray_voxel_chunk_jit(voxel, cam_ori, raydirs, max_samples,
-                                max_steps)
+                                max_steps, empty_skip=skip)
 
 
 def _coarse_dims(dims_i):
@@ -269,7 +281,7 @@ def ray_voxel_wavefront(voxel, cam_ori, raydirs, max_samples,
     Returns (voxel_id [R, M] s32, depth [R, M, 2] f32, hit_mask [R, M]).
     """
     if empty_skip is None:
-        empty_skip = EMPTY_SKIP_STEPS
+        empty_skip = _auto_skip(voxel.shape)
     dims_i = voxel.shape
     if max_steps is None:
         max_steps = int(dims_i[0] + dims_i[1] + dims_i[2]) + 2
