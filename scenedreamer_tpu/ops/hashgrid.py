@@ -540,7 +540,6 @@ def _encode_flat_scan(spec, table, x01):
     table3 = table.reshape(lvls, size, spec.level_dim)
     scales = jnp.asarray([spec.level_resolution(lv)[1]
                           for lv in range(lvls)], jnp.float32)
-    bits_j = jnp.asarray(_corner_bits(d), jnp.uint32)        # [2^D, D]
     primes = jnp.asarray(_PRIMES[:d], jnp.uint32)
     offset = 0.0 if spec.align_corners else 0.5
 
@@ -871,7 +870,6 @@ def hashgrid_encode_folded(spec, table, xyz, scene, bound=1.0):
     table3 = table.reshape(lvls, size, spec.level_dim)
     scales = jnp.asarray([spec.level_resolution(lv)[1]
                           for lv in range(lvls)], jnp.float32)
-    bits_p = jnp.asarray(_corner_bits(dp), jnp.uint32)      # [2^Dp, Dp]
     bits_s = jnp.asarray(_corner_bits(ds), jnp.uint32)      # [2^Ds, Ds]
     primes_p = jnp.asarray(_PRIMES[:dp], jnp.uint32)
     primes_s = jnp.asarray(_PRIMES[dp:dp + ds], jnp.uint32)

@@ -103,9 +103,10 @@ def _auto_skip(dims_i):
                    static_argnames=('max_samples', 'max_steps',
                                     'empty_skip'))
 def _ray_voxel_chunk_jit(voxel, cam_ori, raydirs, max_samples,
-                         max_steps=None, empty_skip=EMPTY_SKIP_STEPS):
+                         max_steps=None, empty_skip=EMPTY_SKIP_STEPS,
+                         occ=None):
     return _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
-                            max_steps, empty_skip)
+                            max_steps, empty_skip, occ)
 
 
 AUTO_CHUNK_RAYS = 1 << 20        # rays per dispatch in 'auto' mode
@@ -146,7 +147,7 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
         hit_mask: [R, M] bool.
     """
     if wavefront is True or (
-            wavefront == 'auto'
+            wavefront == 'auto' and chunk == 'auto'
             and raydirs.shape[0] > AUTO_CHUNK_THRESHOLD):
         # giant frames: 1M-ray chunks, each traversed as short
         # re-dispatched waves with survivor compaction — finished rays
@@ -173,9 +174,12 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
         pad = (-r) % chunk
         rd = jnp.pad(raydirs, ((0, pad), (0, 0)))
         rd = rd.reshape(-1, chunk, 3)
+        # hoist the full-grid occupancy reduce out of the per-chunk
+        # executables (it reads the whole HBM-resident grid)
+        occ = _occupancy_jit(voxel) if skip else None
         outs = [_ray_voxel_chunk_jit(voxel, cam_ori, rd[i],
                                      max_samples, max_steps,
-                                     empty_skip=skip)
+                                     empty_skip=skip, occ=occ)
                 for i in range(rd.shape[0])]
         vid = jnp.concatenate([o[0] for o in outs], axis=0)
         dep = jnp.concatenate([o[1] for o in outs], axis=0)
@@ -211,23 +215,20 @@ def build_occupancy(voxel):
 
 
 def _ray_voxel_chunk(voxel, cam_ori, raydirs, max_samples,
-                     max_steps=None, empty_skip=EMPTY_SKIP_STEPS):
+                     max_steps=None, empty_skip=EMPTY_SKIP_STEPS,
+                     occ=None):
     dims_i = voxel.shape
     if max_steps is None:
         max_steps = int(dims_i[0] + dims_i[1] + dims_i[2]) + 2
-    dims = jnp.asarray(dims_i, jnp.float32)
     r = raydirs.shape[0]
     m = max_samples
 
-    occ = build_occupancy(voxel) if empty_skip else None
+    if occ is None and empty_skip:
+        occ = build_occupancy(voxel)
     ori = cam_ori.astype(jnp.float32)
     dirs = raydirs.astype(jnp.float32)
 
-    t0, possible = _aabb_enter_t(ori, dirs, dims)
-    start = ori[None, :] + t0[:, None] * dirs
-    pos = jnp.floor(start).astype(jnp.int32)                     # [R, 3]
-
-    axis_t = _crossing_t_init(ori, dirs, pos)
+    possible, pos, axis_t = _dda_init(dims_i, ori, dirs)
 
     out_id = jnp.zeros((r, m), jnp.int32)
     out_t = jnp.zeros((r, m, 2), jnp.float32)
@@ -300,9 +301,12 @@ def ray_voxel_wavefront(voxel, cam_ori, raydirs, max_samples,
     stash = []          # retired rows: (idx, cnt, out_id, out_t)
     total = 0
     while True:
-        state = _dda_wave_jit(voxel, occ, ori, dirs, state, m, wave,
-                              empty_skip)
-        total += wave
+        # clamp the last wave so an explicit max_steps binds at exactly
+        # the same iteration as the monolithic loop's `step < steps`
+        this_wave = min(wave, max_steps - total)
+        state = _dda_wave_jit(voxel, occ, ori, dirs, state, m,
+                              this_wave, empty_skip)
+        total += this_wave
         n_active = int(jnp.sum(state[0]))
         rows = state[0].shape[0]
         if n_active == 0 or total >= max_steps:

@@ -73,19 +73,21 @@ def main():
         return
 
     outs = {}
+    r = rd.shape[0]
+    step = rv.AUTO_CHUNK_RAYS if r > rv.AUTO_CHUNK_THRESHOLD else r
+    # pad like the production path so ONE executable covers all chunks
+    rdp = jnp.pad(rd, ((0, (-r) % step), (0, 0)))
     for skip in a.skips:
-        os.environ['SCENEDREAMER_DDA_SKIP'] = str(skip)
-        rv.EMPTY_SKIP_STEPS = skip
+        # (env/module knobs are read at import; skip is passed
+        # explicitly to the jit below)
 
         def run():
             chunks = []
-            r = rd.shape[0]
-            step = rv.AUTO_CHUNK_RAYS if r > rv.AUTO_CHUNK_THRESHOLD \
-                else r
-            for i in range(0, r, step):
+            occ = rv._occupancy_jit(vox) if skip else None
+            for i in range(0, rdp.shape[0], step):
                 vid, dep, hit = rv._ray_voxel_chunk_jit(
                     vox, jnp.asarray(ori, jnp.float32),
-                    rd[i:i + step], 6, empty_skip=skip)
+                    rdp[i:i + step], 6, empty_skip=skip, occ=occ)
                 chunks.append((vid, dep, hit))
             # force completion
             tot = sum(float(jnp.sum(c[2])) for c in chunks)

@@ -182,3 +182,31 @@ def test_wavefront_bit_exact():
                                wave=16, min_rows=256)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_wavefront_honors_max_steps():
+    """An explicit max_steps binds at the same iteration in the
+    wavefront path as in the monolithic loop (the last wave is
+    clamped), so both paths return identical outputs even when the
+    bound cuts traversal short."""
+    from scenedreamer_tpu.ops import ray_voxel as rv
+    rng = np.random.default_rng(3)
+    dims = (32, 40, 36)
+    vox = np.zeros(dims, np.int8)
+    vox[:3] = 2
+    solid = rng.integers(0, np.asarray(dims) - 1, (30, 3))
+    vox[solid[:, 0], solid[:, 1], solid[:, 2]] = 4
+    ori = jnp.asarray([20.0, -6.0, 10.0])
+    th = rng.uniform(0, np.pi, 1500)
+    ph = rng.uniform(0, 2 * np.pi, 1500)
+    dirs = jnp.asarray(np.stack([np.cos(th), np.sin(th) * np.cos(ph),
+                                 np.sin(th) * np.sin(ph)], -1),
+                       jnp.float32)
+    for bound in (7, 23):
+        a = rv._ray_voxel_chunk_jit(jnp.asarray(vox), ori, dirs, 4,
+                                    max_steps=bound)
+        b = rv.ray_voxel_wavefront(jnp.asarray(vox), ori, dirs, 4,
+                                   wave=5, min_rows=128,
+                                   max_steps=bound)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
