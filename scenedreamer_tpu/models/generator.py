@@ -210,8 +210,17 @@ class SceneDreamerGenerator(nn.Module):
     def render_pixels(self, key, voxel_id, depth, hit_mask, raydirs,
                       cam_ori, z, global_enc, voxel_dims,
                       num_samples=None, sample_depth_clip=None,
-                      deterministic=None, sky_avg=None, field_extra=None):
+                      deterministic=None, sky_avg=None, field_extra=None,
+                      sky_only=False):
         """Full per-pixel rendering pass (`scenedreamer.py:313-430`).
+
+        `sky_only=True` (static) skips the hash-field + RenderMLP and
+        substitutes sigma = feat = 0. For tiles whose hit_mask is all
+        False this is BIT-exact: `sky_only_mask` already forces the
+        volume weights to zero there, and sigma = 0 yields exactly-zero
+        weights before masking, so every field term it skips is
+        multiplied by 0.0 in the full path too (tested). The tiled
+        renderer uses it to fast-path pure-sky tiles.
 
         Args:
             key: PRNG key for stratified sampling (+ sigma noise).
@@ -272,10 +281,16 @@ class SceneDreamerGenerator(nn.Module):
             raydirs_in = raydirs[:, :, :, None, :]
 
         # ---- differentiable field + sky --------------------------------
-        sigma, feat_c = self.field_features(worldcoord, voxel_dims,
-                                            global_enc, raydirs_in, z,
-                                            mc_onehot,
-                                            **(field_extra or {}))
+        if sky_only:
+            # zeros in the model compute dtype so downstream promotion
+            # matches the full path bit-for-bit (AMP included)
+            sigma = jnp.zeros((b, h, w, s, 1), c.dtype)
+            feat_c = jnp.zeros((b, h, w, s, c.final_feat_dim), c.dtype)
+        else:
+            sigma, feat_c = self.field_features(worldcoord, voxel_dims,
+                                                global_enc, raydirs_in,
+                                                z, mc_onehot,
+                                                **(field_extra or {}))
         if c.raw_noise_std > 0:
             sigma = sigma + jax.random.normal(k_noise, sigma.shape,
                                               sigma.dtype) * c.raw_noise_std

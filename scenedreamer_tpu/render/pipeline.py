@@ -77,7 +77,7 @@ class TiledRenderer:
     def __init__(self, model, params, world, num_samples=40,
                  num_blocks_early_stop=6, sample_depth=3.0, pad=30,
                  tile_size=128, resolution_hw=(540, 960), fov=26.0,
-                 tiles_per_batch=1, mesh=None):
+                 tiles_per_batch=1, mesh=None, sky_fast=True):
         self.model = model
         self.params = params
         self.world = world
@@ -93,6 +93,12 @@ class TiledRenderer:
         # tile loop (`scenedreamer.py:600-628`); tiles are independent
         # so no communication is emitted
         self.mesh = mesh
+        # pure-sky tiles (no hit intervals anywhere) skip the
+        # hash-field + RenderMLP via render_pixels(sky_only=True) —
+        # bit-exact for such tiles (their field weights are exactly
+        # zero in the full path too). One [T]-bool fetch per frame
+        # decides; applies to the serial single-tile dispatch path.
+        self.sky_fast = sky_fast
         self.res = tuple(resolution_hw)
         self.cam_res = (self.res[0] + pad, self.res[1] + pad)
         self.fov = fov
@@ -119,13 +125,13 @@ class TiledRenderer:
         self._sky_avg_fn = jax.jit(sky_avg_fn)
 
         def tile_fn(params, voxel_id, depth, hit, raydirs, cam_ori, z,
-                    global_enc, sky_avg, key):
+                    global_enc, sky_avg, key, sky_only=False):
             out = self.model.apply(
                 params, key, voxel_id, depth, hit, raydirs, cam_ori, z,
                 global_enc, self.world.dims,
                 num_samples=self.num_samples,
                 sample_depth_clip=self.sample_depth,
-                deterministic=True, sky_avg=sky_avg,
+                deterministic=True, sky_avg=sky_avg, sky_only=sky_only,
                 method=self.model.render_pixels)
             img, _ = self.model.apply(params, out['net_out'], z,
                                       method=self.model.refine)
@@ -140,7 +146,8 @@ class TiledRenderer:
             p = self.pad
             sl = slice(p // 2, -(p // 2))
             return img[:, sl, sl, :], depth_exp[:, sl, sl]
-        self._tile_fn = jax.jit(tile_fn)
+        self._tile_fn = jax.jit(tile_fn, static_argnames=('sky_only',))
+        self._hit_flags_fn = None
 
     def style_z(self, style):
         """Raw 128-d style -> intermediate style."""
@@ -307,13 +314,28 @@ class TiledRenderer:
             # dispatch is async, so device work overlaps the
             # per-group RTT.
             tb = self.tiles_per_batch
+            flags = None
+            if self.sky_fast and tb == 1:
+                if self._hit_flags_fn is None:
+                    cs = list(coords)
+
+                    def hit_flags(hm):
+                        return jnp.stack(
+                            [jnp.any(hm[0, y0:y0 + tile_in,
+                                        x0:x0 + tile_in])
+                             for (y0, x0) in cs])
+                    self._hit_flags_fn = jax.jit(hit_flags)
+                # ONE [T]-bool fetch decides every tile's dispatch
+                flags = np.asarray(self._hit_flags_fn(hit))
+                self._last_hit_flags = flags
             pending = []
             for s in range(0, len(coords), tb):
                 group = coords[s:s + tb]
                 group_full = group + [group[-1]] * (tb - len(group))
+                sky_only = bool(flags is not None and not flags[s])
                 pending.append((group, self._dispatch_tiles(
                     group_full, tile_in, vid, dep, hit, raydirs,
-                    cam_ori, z, sky_avg, key)))
+                    cam_ori, z, sky_avg, key, sky_only=sky_only)))
 
         # _finish only reads vid for the aux voxel-id map: don't pin
         # the [1,h,w,M] int32 frame on device across the frame pipeline
@@ -330,7 +352,7 @@ class TiledRenderer:
 
     def _dispatch_tiles(self, coords_full, tile_in, vid, dep, hit,
                         raydirs, cam_ori, z, sky_avg, key,
-                        place=None, place_params=None):
+                        place=None, place_params=None, sky_only=False):
         """Stack the tile crops into one batch and run _tile_fn;
         `place`/`place_params` optionally shard the operands."""
         ident = lambda a: a
@@ -351,7 +373,8 @@ class TiledRenderer:
         return self._tile_fn(
             place_params(self.params), stack(vid), stack(dep),
             stack(hit), stack(raydirs), bcast(cam_ori), bcast(z),
-            bcast(self.global_enc), bcast(sky_avg), key)
+            bcast(self.global_enc), bcast(sky_avg), key,
+            sky_only=sky_only)
 
     def _stitch(self, out, out_d, imgs, dexps, coords):
         for i, (y0, x0) in enumerate(coords):

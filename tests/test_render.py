@@ -152,3 +152,29 @@ def test_export_tile_round_trip(model_world, tmp_path):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(dep_a), np.asarray(dep_b),
                                atol=1e-4)
+
+
+def test_sky_fast_path_bit_exact(model_world):
+    """Frames rendered with the pure-sky tile fast path must be
+    BIT-identical to sky_fast=False: all-miss tiles' field weights are
+    exactly zero in the full path, so skipping the field changes
+    nothing. Camera pitched upward guarantees some pure-sky tiles."""
+    model, params, world = model_world
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, TINY.style_dims))
+    kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
+                  resolution_hw=(32, 48), fov=40.0, tile_size=16)
+    r_fast = TiledRenderer(model, params, world, sky_fast=True, **kwargs)
+    r_slow = TiledRenderer(model, params, world, sky_fast=False, **kwargs)
+    z = r_fast.style_z(style)
+    # low camera looking up: top tile rows see pure sky
+    ori = np.array([world.dims[0] * 0.5, 10.0, 10.0], np.float32)
+    cdir = np.array([0.9, 0.3, 0.3], np.float32)
+    up = np.array([1.0, 0.0, 0.0], np.float32)
+    pose = (ori, cdir, up, 0.5 / np.tan(np.deg2rad(20.0)))
+    img_a = r_fast.frame(pose, z)
+    img_b = r_slow.frame(pose, z)
+    # the fast path must actually have fired for the test to mean
+    # anything: at least one pure-sky tile AND one terrain tile
+    flags = r_fast._last_hit_flags
+    assert flags is not None and (~flags).any() and flags.any()
+    np.testing.assert_array_equal(img_a, img_b)
