@@ -178,3 +178,34 @@ def test_sky_fast_path_bit_exact(model_world):
     flags = r_fast._last_hit_flags
     assert flags is not None and (~flags).any() and flags.any()
     np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_sky_fast_path_bit_exact_bf16():
+    """Same sky-fast bit-exactness under bf16 module compute: the
+    sky-only zeros are emitted in the model compute dtype, so dtype
+    promotion in the compositing matches the full path exactly."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, dtype=jnp.bfloat16)
+    world = make_world(size=64, seed=7, n_voronoi=20, boundary_detect=4)
+    model = SceneDreamerGenerator(cfg=cfg)
+    batch = make_batch(world, batch_size=1, height=20, width=20,
+                       max_samples=4, pad=cfg.pad, seed=0,
+                       include_gan_data=False)
+    key = jax.random.PRNGKey(0)
+    params = model.init({'params': key}, batch, world.dims, key,
+                        random_style=True)
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.style_dims))
+    kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
+                  resolution_hw=(32, 48), fov=40.0, tile_size=16)
+    r_fast = TiledRenderer(model, params, world, sky_fast=True, **kwargs)
+    r_slow = TiledRenderer(model, params, world, sky_fast=False, **kwargs)
+    z = r_fast.style_z(style)
+    ori = np.array([world.dims[0] * 0.5, 10.0, 10.0], np.float32)
+    pose = (ori, np.array([0.9, 0.3, 0.3], np.float32),
+            np.array([1.0, 0.0, 0.0], np.float32),
+            0.5 / np.tan(np.deg2rad(20.0)))
+    img_a = r_fast.frame(pose, z)
+    img_b = r_slow.frame(pose, z)
+    flags = r_fast._last_hit_flags
+    assert flags is not None and (~flags).any() and flags.any()
+    np.testing.assert_array_equal(img_a, img_b)
