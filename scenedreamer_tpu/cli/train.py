@@ -279,7 +279,16 @@ def main(argv=None):
                         'compile itself is noise)')
     p.add_argument('--speed-benchmark', action='store_true',
                    help='per-phase wall timers with device sync '
-                        '(trainers/base.py:876-940 speed_benchmark)')
+                        '(trainers/base.py:876-940 speed_benchmark); '
+                        'disables --prefetch so phases stay attributable')
+    p.add_argument('--no-prefetch', dest='prefetch', action='store_false',
+                   help='disable building batch i+1 on a worker thread '
+                        'while the device trains on batch i (the r3 '
+                        'speed_benchmark showed batch_build ~ as long '
+                        'as the train step; prefetch overlaps the two '
+                        'with identical batch/RNG semantics — a single '
+                        'ordered worker keeps every rng/world call in '
+                        'the serial order)')
     a = p.parse_args(argv)
 
     if a.platform:
@@ -373,32 +382,65 @@ def main(argv=None):
                 writer.meter(k).write(float(v))
         pending_metrics.clear()
 
+    # batch prefetch: ONE ordered worker builds batch i+1 (world
+    # resample + camera rejection + pseudo-GT) while the device runs
+    # train_step(i). Sequencing is identical to the serial loop — the
+    # worker executes jobs one at a time in submission order, so every
+    # rng/world_cache call happens in the same order, and the PRNG keys
+    # are pre-split on the main thread. jax jit dispatch is thread-safe;
+    # the builder's small device programs ride the same in-order device
+    # queue as the train step.
+    use_prefetch = a.prefetch and not a.speed_benchmark
+    executor = None
+    if use_prefetch:
+        from concurrent.futures import ThreadPoolExecutor
+        executor = ThreadPoolExecutor(max_workers=1)
+
+    def _build(data_np, it_now, k_batch):
+        nonlocal world
+        if it_now > 0 and it_now % max(1, a.world_switch_every) == 0:
+            with _ph('world_sample'):
+                world = [world_cache.sample_world(
+                    rng=_RandomAdapter(rng))
+                    for _ in range(a.batch_size)]
+        data = {k: jax.numpy.asarray(v) for k, v in data_np.items()
+                if k in ('images', 'label')}
+        with _ph('batch_build') as box:
+            batch = builder(data, world, rng, k_batch)
+            box['out'] = batch
+        if mesh is not None:
+            batch = pm.shard_batch(mesh, batch)
+        return batch
+
+    def _next_keys():
+        # exactly ONE split per iteration, always in serial order —
+        # prefetching only moves WHEN a pair is drawn, never the order
+        nonlocal key
+        key, kb, ks = jax.random.split(key, 3)
+        return kb, ks
+
     t0 = time.time()
     for epoch in range(max_epoch):
         loader.set_epoch(epoch)
-        for data_np in loader:
+        diter = iter(loader)
+        nxt = next(diter, None)
+        fut = None            # (future, k_step) for the prefetched batch
+        while nxt is not None:
+            data_np, nxt = nxt, next(diter, None)
             if profile_window and steps_run == profile_window[0] \
                     and not trace_on['flag']:
                 jax.profiler.start_trace(os.path.join(logdir, 'trace'))
                 trace_on['flag'] = True
-            # the reference resamples the PCG world every iteration
-            # (`scenedreamer.py:88` sample_world in _get_batch); with
-            # batch > 1 each element gets its OWN world — the analog of
-            # one world per DDP rank. --world-switch-every N amortizes
-            # the host densify for demo runs.
-            if it > 0 and it % max(1, a.world_switch_every) == 0:
-                with _ph('world_sample'):
-                    world = [world_cache.sample_world(
-                        rng=_RandomAdapter(rng))
-                        for _ in range(a.batch_size)]
-            key, k_batch, k_step = jax.random.split(key, 3)
-            data = {k: jax.numpy.asarray(v) for k, v in data_np.items()
-                    if k in ('images', 'label')}
-            with _ph('batch_build') as box:
-                batch = builder(data, world, rng, k_batch)
-                box['out'] = batch
-            if mesh is not None:
-                batch = pm.shard_batch(mesh, batch)
+            if fut is not None:
+                pending, k_step = fut
+                batch = pending.result()
+                fut = None
+            else:
+                k_batch, k_step = _next_keys()
+                batch = _build(data_np, it, k_batch)
+            if executor is not None and nxt is not None:
+                kb2, ks2 = _next_keys()
+                fut = (executor.submit(_build, nxt, it + 1, kb2), ks2)
             if state is None:
                 state = trainer.init_state(jax.random.PRNGKey(a.seed),
                                            batch)
