@@ -22,6 +22,7 @@ TPU-native design choices:
 Returns flat-ray arrays; `ray_voxel_intersection_perspective` reshapes to
 the reference's [H, W, ...] layout.
 """
+import collections
 import functools
 import os
 
@@ -154,14 +155,19 @@ def ray_voxel_intersection(voxel, cam_ori, raydirs, max_samples,
         # stop paying the per-iteration voxel gather (see
         # `ray_voxel_wavefront`). A single 8.3M-ray wave program
         # crashes the TPU worker (same kernel fault as the monolithic
-        # 8.3M program), so the chunk cap stays.
+        # 8.3M program), so the chunk cap stays. Chunks run PERSISTENT
+        # (round-robin, WAVEFRONT_DEPTH in flight): while the host
+        # blocks on one chunk's survivor count / compaction mask, the
+        # device executes another chunk's already-queued wave — the
+        # per-wave host round trip (~35 ms scalar fetch + compaction
+        # traffic over the axon tunnel) vanishes from the critical path.
         r = raydirs.shape[0]
         c = AUTO_CHUNK_RAYS
         pad = (-r) % c
         rd = jnp.pad(raydirs, ((0, pad), (0, 0))).reshape(-1, c, 3)
-        outs = [ray_voxel_wavefront(voxel, cam_ori, rd[i], max_samples,
-                                    max_steps=max_steps)
-                for i in range(rd.shape[0])]
+        outs = _wavefront_interleaved(
+            voxel, cam_ori, [rd[i] for i in range(rd.shape[0])],
+            max_samples, max_steps=max_steps)
         return (jnp.concatenate([o[0] for o in outs])[:r],
                 jnp.concatenate([o[1] for o in outs])[:r],
                 jnp.concatenate([o[2] for o in outs])[:r])
@@ -261,6 +267,157 @@ def _dda_wave_jit(voxel, occ, cam_ori, raydirs, state, max_samples,
                     steps, empty_skip)
 
 
+class _WavefrontRun:
+    """One chunk's wavefront traversal as an explicit state machine:
+    `dispatch()` queues the next wave (plus an async survivor count) on
+    the device and returns immediately; `resolve()` blocks on that
+    count and performs the retire/compact bookkeeping. Splitting the
+    two lets a driver interleave several chunks so the host-blocking
+    fetches of one chunk overlap another chunk's device wave."""
+
+    def __init__(self, voxel, occ, ori, dirs, max_samples, wave,
+                 max_steps, empty_skip, min_rows, compact_frac):
+        self.voxel, self.occ, self.ori = voxel, occ, ori
+        self.dirs = jnp.asarray(dirs, jnp.float32)
+        self.m = max_samples
+        self.wave = wave
+        self.max_steps = max_steps
+        self.empty_skip = empty_skip
+        self.min_rows = min_rows
+        self.compact_frac = compact_frac
+        self.r_total = dirs.shape[0]
+        active, pos, axis_t = _dda_init_jit(voxel.shape, ori, self.dirs)
+        self.state = (active, pos, axis_t,
+                      jnp.zeros((self.r_total,), jnp.int32),
+                      jnp.zeros((self.r_total, self.m), jnp.int32),
+                      jnp.zeros((self.r_total, self.m, 2), jnp.float32))
+        self.idx = jnp.arange(self.r_total, dtype=jnp.int32)
+        self.stash = []       # retired rows: (idx, cnt, out_id, out_t)
+        self.total = 0
+        self.done = False
+        self._pending = None  # async survivor-count scalar
+
+    def dispatch(self):
+        # clamp the last wave so an explicit max_steps binds at exactly
+        # the same iteration as the monolithic loop's `step < steps`
+        this_wave = min(self.wave, self.max_steps - self.total)
+        self.state = _dda_wave_jit(self.voxel, self.occ, self.ori,
+                                   self.dirs, self.state, self.m,
+                                   this_wave, self.empty_skip)
+        self.total += this_wave
+        self._pending = jnp.sum(self.state[0])    # queued, not fetched
+
+    def resolve(self):
+        n_active = int(self._pending)             # blocks on this chunk
+        self._pending = None
+        state = self.state
+        rows = state[0].shape[0]
+        if n_active == 0 or self.total >= self.max_steps:
+            self.stash.append((self.idx, state[3], state[4], state[5]))
+            self.done = True
+            return
+        if n_active > self.compact_frac * rows or rows <= self.min_rows:
+            return
+        bucket = max(self.min_rows,
+                     1 << max(n_active - 1, 1).bit_length())
+        if bucket >= rows:
+            return
+        amask = np.asarray(state[0])             # [rows] bool, small
+        keep = np.nonzero(amask)[0].astype(np.int32)
+        done = np.nonzero(~amask)[0].astype(np.int32)
+        done_d = jnp.asarray(done)
+        self.stash.append((jnp.take(self.idx, done_d),
+                           jnp.take(state[3], done_d),
+                           jnp.take(state[4], done_d, axis=0),
+                           jnp.take(state[5], done_d, axis=0)))
+        pad = bucket - len(keep)
+        sel = jnp.asarray(np.concatenate(
+            [keep, np.zeros(pad, np.int32)]))
+        live = jnp.arange(bucket, dtype=jnp.int32) < len(keep)
+        self.dirs = jnp.take(self.dirs, sel, axis=0)
+        # padding rows carry the sentinel id r_total: the final sort
+        # pushes them past every real ray and the [:R] slice drops them
+        self.idx = jnp.where(live, jnp.take(self.idx, sel),
+                             jnp.int32(self.r_total))
+        self.state = (jnp.take(state[0], sel) & live,
+                      jnp.take(state[1], sel, axis=0),
+                      jnp.take(state[2], sel, axis=0),
+                      jnp.take(state[3], sel),
+                      jnp.take(state[4], sel, axis=0),
+                      jnp.take(state[5], sel, axis=0))
+
+    def finalize(self):
+        """Reassemble this chunk's rows ON DEVICE by one sort over the
+        original ray index (axon D2H is ~16 MB/s — bulk fetches are
+        prohibitive; per-wave host traffic stayed one scalar + one bool
+        mask)."""
+        m, r_total = self.m, self.r_total
+        stash = self.stash
+        idx_all = jnp.concatenate([s[0] for s in stash])
+        cnt_all = jnp.concatenate([s[1] for s in stash])
+        oid_all = jnp.concatenate([s[2] for s in stash], axis=0)
+        ot_all = jnp.concatenate([s[3] for s in stash], axis=0) \
+            .reshape(idx_all.shape[0], 2 * m)
+        cols = [oid_all[:, c] for c in range(m)] \
+            + [ot_all[:, c] for c in range(2 * m)]
+        ops = jax.lax.sort([idx_all, cnt_all] + cols, num_keys=1)
+        cnt = ops[1][:r_total]
+        out_id = jnp.stack(ops[2:2 + m], axis=-1)[:r_total]
+        out_t = jnp.stack(ops[2 + m:], axis=-1)[:r_total].reshape(
+            r_total, m, 2)
+        hit_mask = jnp.arange(m, dtype=jnp.int32)[None, :] < cnt[:, None]
+        return out_id, out_t, hit_mask
+
+
+# Chunks kept in flight by the interleaved wavefront driver. 2 is
+# enough to hide the per-wave host round trip (scalar fetch + compact
+# mask + dispatch) behind the other chunk's device wave; more only
+# grows live state (~0.5 GB/chunk at M=40) for no extra overlap.
+WAVEFRONT_DEPTH = int(os.environ.get('SCENEDREAMER_DDA_WAVE_DEPTH', '2'))
+
+
+def _wavefront_interleaved(voxel, cam_ori, dirs_chunks, max_samples,
+                           wave=256, max_steps=None, empty_skip=None,
+                           min_rows=1 << 17, compact_frac=0.5,
+                           depth=None):
+    """Run several ray chunks through the wavefront DDA round-robin,
+    keeping `depth` chunks in flight. Device programs and per-chunk
+    results are IDENTICAL to running the chunks sequentially (the
+    chunks are independent; only dispatch order interleaves), but the
+    device never idles across a chunk's host sync while another chunk
+    has a wave queued. Returns one (voxel_id, depth, hit_mask) tuple
+    per input chunk, in order."""
+    if depth is None:
+        depth = WAVEFRONT_DEPTH
+    if empty_skip is None:
+        empty_skip = _auto_skip(voxel.shape)
+    dims_i = voxel.shape
+    if max_steps is None:
+        max_steps = int(dims_i[0] + dims_i[1] + dims_i[2]) + 2
+    occ = _occupancy_jit(voxel) if empty_skip else None
+    ori = jnp.asarray(cam_ori, jnp.float32)
+    runs = [_WavefrontRun(voxel, occ, ori, d, max_samples, wave,
+                          max_steps, empty_skip, min_rows, compact_frac)
+            for d in dirs_chunks]
+    q = collections.deque()
+    next_i = 0
+    while next_i < len(runs) and len(q) < max(1, depth):
+        runs[next_i].dispatch()
+        q.append(runs[next_i])
+        next_i += 1
+    while q:
+        run = q.popleft()
+        run.resolve()
+        if not run.done:
+            run.dispatch()
+            q.append(run)
+        elif next_i < len(runs):
+            runs[next_i].dispatch()
+            q.append(runs[next_i])
+            next_i += 1
+    return [run.finalize() for run in runs]
+
+
 def ray_voxel_wavefront(voxel, cam_ori, raydirs, max_samples,
                         wave=256, max_steps=None,
                         empty_skip=None, min_rows=1 << 17,
@@ -281,79 +438,10 @@ def ray_voxel_wavefront(voxel, cam_ori, raydirs, max_samples,
 
     Returns (voxel_id [R, M] s32, depth [R, M, 2] f32, hit_mask [R, M]).
     """
-    if empty_skip is None:
-        empty_skip = _auto_skip(voxel.shape)
-    dims_i = voxel.shape
-    if max_steps is None:
-        max_steps = int(dims_i[0] + dims_i[1] + dims_i[2]) + 2
-    occ = _occupancy_jit(voxel) if empty_skip else None
-    r_total = raydirs.shape[0]
-    m = max_samples
-    ori = jnp.asarray(cam_ori, jnp.float32)
-    dirs = jnp.asarray(raydirs, jnp.float32)
-
-    active, pos, axis_t = _dda_init_jit(dims_i, ori, dirs)
-    state = (active, pos, axis_t,
-             jnp.zeros((r_total,), jnp.int32),
-             jnp.zeros((r_total, m), jnp.int32),
-             jnp.zeros((r_total, m, 2), jnp.float32))
-    idx = jnp.arange(r_total, dtype=jnp.int32)   # orig ray id per row
-    stash = []          # retired rows: (idx, cnt, out_id, out_t)
-    total = 0
-    while True:
-        # clamp the last wave so an explicit max_steps binds at exactly
-        # the same iteration as the monolithic loop's `step < steps`
-        this_wave = min(wave, max_steps - total)
-        state = _dda_wave_jit(voxel, occ, ori, dirs, state, m,
-                              this_wave, empty_skip)
-        total += this_wave
-        n_active = int(jnp.sum(state[0]))
-        rows = state[0].shape[0]
-        if n_active == 0 or total >= max_steps:
-            stash.append((idx, state[3], state[4], state[5]))
-            break
-        if n_active > compact_frac * rows or rows <= min_rows:
-            continue
-        bucket = max(min_rows, 1 << max(n_active - 1, 1).bit_length())
-        if bucket >= rows:
-            continue
-        amask = np.asarray(state[0])             # [rows] bool, small
-        keep = np.nonzero(amask)[0].astype(np.int32)
-        done = np.nonzero(~amask)[0].astype(np.int32)
-        done_d = jnp.asarray(done)
-        stash.append((jnp.take(idx, done_d),
-                      jnp.take(state[3], done_d),
-                      jnp.take(state[4], done_d, axis=0),
-                      jnp.take(state[5], done_d, axis=0)))
-        pad = bucket - len(keep)
-        sel = jnp.asarray(np.concatenate(
-            [keep, np.zeros(pad, np.int32)]))
-        live = jnp.arange(bucket, dtype=jnp.int32) < len(keep)
-        dirs = jnp.take(dirs, sel, axis=0)
-        # padding rows carry the sentinel id r_total: the final sort
-        # pushes them past every real ray and the [:R] slice drops them
-        idx = jnp.where(live, jnp.take(idx, sel), jnp.int32(r_total))
-        state = (jnp.take(state[0], sel) & live,
-                 jnp.take(state[1], sel, axis=0),
-                 jnp.take(state[2], sel, axis=0),
-                 jnp.take(state[3], sel),
-                 jnp.take(state[4], sel, axis=0),
-                 jnp.take(state[5], sel, axis=0))
-
-    idx_all = jnp.concatenate([s[0] for s in stash])
-    cnt_all = jnp.concatenate([s[1] for s in stash])
-    oid_all = jnp.concatenate([s[2] for s in stash], axis=0)
-    ot_all = jnp.concatenate([s[3] for s in stash], axis=0) \
-        .reshape(idx_all.shape[0], 2 * m)
-    cols = [oid_all[:, c] for c in range(m)] \
-        + [ot_all[:, c] for c in range(2 * m)]
-    ops = jax.lax.sort([idx_all, cnt_all] + cols, num_keys=1)
-    cnt = ops[1][:r_total]
-    out_id = jnp.stack(ops[2:2 + m], axis=-1)[:r_total]
-    out_t = jnp.stack(ops[2 + m:], axis=-1)[:r_total].reshape(
-        r_total, m, 2)
-    hit_mask = jnp.arange(m, dtype=jnp.int32)[None, :] < cnt[:, None]
-    return out_id, out_t, hit_mask
+    return _wavefront_interleaved(
+        voxel, cam_ori, [raydirs], max_samples, wave=wave,
+        max_steps=max_steps, empty_skip=empty_skip, min_rows=min_rows,
+        compact_frac=compact_frac, depth=1)[0]
 
 
 def _crossing_t_init(ori, dirs, pos):

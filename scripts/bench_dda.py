@@ -31,6 +31,9 @@ def main():
                    help='also assert bit-equality across skips')
     p.add_argument('--wavefront', action='store_true')
     p.add_argument('--wave', type=int, default=256)
+    p.add_argument('--depth', type=int, default=None,
+                   help='chunks in flight (persistent wavefront); '
+                        'default = production WAVEFRONT_DEPTH')
     a = p.parse_args()
 
     from scenedreamer_tpu.data.synthetic import make_world
@@ -49,25 +52,26 @@ def main():
     vox = jnp.asarray(world.voxel)
 
     if a.wavefront:
-        from scenedreamer_tpu.ops.ray_voxel import ray_voxel_wavefront
         for skip in a.skips:
             def runw():
                 r = rd.shape[0]
                 c = rv.AUTO_CHUNK_RAYS
-                hits = 0.0
-                out = None
-                for i in range(0, r, c):
-                    out = ray_voxel_wavefront(
-                        vox, jnp.asarray(ori, jnp.float32),
-                        rd[i:i + c], 6, wave=a.wave, empty_skip=skip)
-                    hits += float(jnp.sum(out[2]))
-                return hits, out
+                pad = (-r) % c
+                rdp2 = jnp.pad(rd, ((0, pad), (0, 0))).reshape(-1, c, 3)
+                outs = rv._wavefront_interleaved(
+                    vox, jnp.asarray(ori, jnp.float32),
+                    [rdp2[i] for i in range(rdp2.shape[0])], 6,
+                    wave=a.wave, empty_skip=skip, depth=a.depth)
+                # force completion (hits fetched once, at the end)
+                hits = sum(float(jnp.sum(o[2])) for o in outs)
+                return hits, outs[-1]
             t0 = time.time()
             hits, _ = runw()
             c = time.time() - t0
             t0 = time.time()
             hits, _ = runw()
-            print(f'wavefront skip={skip} wave={a.wave}: '
+            print(f'wavefront skip={skip} wave={a.wave} '
+                  f'depth={a.depth or rv.WAVEFRONT_DEPTH}: '
                   f'{time.time() - t0:7.2f} s/frame (compile+1st {c:.1f}s,'
                   f' hits {int(hits)})', flush=True)
         return

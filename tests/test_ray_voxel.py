@@ -210,3 +210,32 @@ def test_wavefront_honors_max_steps():
                                    max_steps=bound)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+def test_wavefront_interleaved_matches_sequential():
+    """The persistent (round-robin) multi-chunk wavefront driver returns
+    BIT-identical outputs to running each chunk alone AND to the
+    monolithic loop — interleaving only reorders dispatches of
+    independent chunks, it changes no device program."""
+    from scenedreamer_tpu.ops import ray_voxel as rv
+    rng = np.random.default_rng(17)
+    dims = (36, 44, 40)
+    vox = np.zeros(dims, np.int8)
+    vox[:3] = 2
+    solid = rng.integers(0, np.asarray(dims) - 1, (50, 3))
+    vox[solid[:, 0], solid[:, 1], solid[:, 2]] = 6
+    ori = jnp.asarray([22.0, -7.0, 11.0])
+    th = rng.uniform(0, np.pi, 3000)
+    ph = rng.uniform(0, 2 * np.pi, 3000)
+    dirs = np.stack([np.cos(th), np.sin(th) * np.cos(ph),
+                     np.sin(th) * np.sin(ph)], -1).astype(np.float32)
+    chunks = [jnp.asarray(dirs[i::3]) for i in range(3)]
+    inter = rv._wavefront_interleaved(
+        jnp.asarray(vox), ori, chunks, 5, wave=16, min_rows=256,
+        depth=2)
+    for ch, out in zip(chunks, inter):
+        mono = rv._ray_voxel_chunk_jit(jnp.asarray(vox), ori, ch, 5)
+        solo = rv.ray_voxel_wavefront(jnp.asarray(vox), ori, ch, 5,
+                                      wave=16, min_rows=256)
+        for x, y, z in zip(out, solo, mono):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
