@@ -77,7 +77,8 @@ class TiledRenderer:
     def __init__(self, model, params, world, num_samples=40,
                  num_blocks_early_stop=6, sample_depth=3.0, pad=30,
                  tile_size=128, resolution_hw=(540, 960), fov=26.0,
-                 tiles_per_batch=1, mesh=None, sky_fast=True):
+                 tiles_per_batch=1, mesh=None, sky_fast=True,
+                 split_refine=None):
         self.model = model
         self.params = params
         self.world = world
@@ -102,6 +103,25 @@ class TiledRenderer:
         self.res = tuple(resolution_hw)
         self.cam_res = (self.res[0] + pad, self.res[1] + pad)
         self.fov = fov
+        # split-refine: the per-ray field (DDA samples -> hash encode ->
+        # RenderMLP -> compositing — the expensive, POINTWISE part) is
+        # evaluated on NON-overlapping tiles and stitched on device;
+        # the RenderCNN (the only cross-pixel stage, receptive-field
+        # radius 4 << the pad//2 crop) then runs ONCE on the full
+        # stitched feature map. The reference pays the field for every
+        # padded pixel of every tile (`scenedreamer.py:600-628`,
+        # (tile+pad)^2 / tile^2 = 1.52x at the 128/30 defaults); here
+        # the pad exists only for the cheap CNN. Output equals the
+        # full-frame (untiled) render bit-for-bit in the field and to
+        # conv-rounding in the CNN (tested). Auto-off above ~1.3 MPx
+        # frames (the full-frame CNN activations would not fit HBM) and
+        # in mesh mode (feature assembly across devices not supported).
+        if split_refine is None:
+            split_refine = os.environ.get(
+                'SCENEDREAMER_SPLIT_REFINE', '1') == '1'
+        self.split_refine = (split_refine and mesh is None
+                             and self.cam_res[0] * self.cam_res[1]
+                             <= 1_400_000)
         self.voxel_dev = jnp.asarray(world.voxel)
         self._compiled = {}
 
@@ -149,9 +169,135 @@ class TiledRenderer:
         self._tile_fn = jax.jit(tile_fn, static_argnames=('sky_only',))
         self._hit_flags_fn = None
 
+        def field_fn(params, voxel_id, depth, hit, raydirs, cam_ori, z,
+                     global_enc, sky_avg, key, sky_only=False):
+            """Per-ray field ONLY (no CNN, no crop) for one tile."""
+            out = self.model.apply(
+                params, key, voxel_id, depth, hit, raydirs, cam_ori, z,
+                global_enc, self.world.dims,
+                num_samples=self.num_samples,
+                sample_depth_clip=self.sample_depth,
+                deterministic=True, sky_avg=sky_avg, sky_only=sky_only,
+                method=self.model.render_pixels)
+            w = out['weights'][..., 0]
+            t = out['rand_depth'][..., 0]
+            tw = jnp.sum(w, axis=-1)
+            depth_exp = jnp.where(tw > 1e-6,
+                                  jnp.sum(w * t, axis=-1)
+                                  / jnp.maximum(tw, 1e-6), jnp.inf)
+            return out['net_out'], depth_exp
+        self._field_fn = jax.jit(field_fn, static_argnames=('sky_only',))
+
+        def refine_fn(params, net_out, z):
+            img, _ = self.model.apply(params, net_out, z,
+                                      method=self.model.refine)
+            p = self.pad
+            sl = slice(p // 2, -(p // 2))
+            return img[:, sl, sl, :]
+        self._refine_fn = jax.jit(refine_fn)
+
+        # one executable for every tile placement (traced offsets); the
+        # donated full buffer makes the 40 updates in-place on device
+        self._place_fn = jax.jit(
+            lambda full, t, y, x: jax.lax.dynamic_update_slice(
+                full, t, (0, y, x, 0)),
+            donate_argnums=(0,))
+        self._field_flags_fn = None
+        self._slice_fn = None
+        self._field_tile = (self._field_tile_size()
+                            if self.split_refine else None)
+
     def style_z(self, style):
         """Raw 128-d style -> intermediate style."""
         return self._style_fn(self.params, style)
+
+    @staticmethod
+    def _grid_coords(extent, s):
+        """Starts of non-overlapping s-tiles covering [0, extent); the
+        last tile is shifted back into range (the small overlap
+        recomputes bit-identical values — the field is pointwise)."""
+        cs = list(range(0, extent - s + 1, s))
+        if not cs or cs[-1] + s < extent:
+            cs.append(extent - s)
+        return cs
+
+    def _field_tile_size(self):
+        """Field tile side minimizing total evaluated pixels over the
+        cam_res cover (edge tiles shift back, so an ill-fitting side
+        wastes overlap; e.g. 144 covers 570x990 in 28 tiles / 3% waste
+        vs 40 tiles / 16% for 128)."""
+        h, w = self.cam_res
+        best, best_px = None, None
+        for s in range(96, min(257, min(h, w) + 1), 16):
+            n = (len(self._grid_coords(h, s))
+                 * len(self._grid_coords(w, s)))
+            px = n * s * s
+            if best_px is None or px < best_px:
+                best, best_px = s, px
+        return best or min(h, w)
+
+    def _frame_split(self, vid, dep, hit, raydirs, cam_ori, z, sky_avg,
+                     key, return_aux):
+        """Split-refine frame: pointwise field on non-overlapping
+        tiles -> device-side feature assembly -> ONE full-frame
+        RenderCNN (see __init__'s split_refine note)."""
+        h, w = self.cam_res
+        s = self._field_tile
+        m = self.m
+        coords = [(y0, x0) for y0 in self._grid_coords(h, s)
+                  for x0 in self._grid_coords(w, s)]
+        if self._slice_fn is None:
+            def slice_all(vid, dep, hit, rd, y, x):
+                return (jax.lax.dynamic_slice(vid, (0, y, x, 0),
+                                              (1, s, s, m)),
+                        jax.lax.dynamic_slice(dep, (0, y, x, 0, 0),
+                                              (1, s, s, m, 2)),
+                        jax.lax.dynamic_slice(hit, (0, y, x, 0),
+                                              (1, s, s, m)),
+                        jax.lax.dynamic_slice(rd, (0, y, x, 0),
+                                              (1, s, s, 3)))
+            self._slice_fn = jax.jit(slice_all)
+        flags = None
+        if self.sky_fast:
+            if self._field_flags_fn is None:
+                cs = list(coords)
+
+                def field_flags(hm):
+                    return jnp.stack(
+                        [jnp.any(hm[0, y0:y0 + s, x0:x0 + s])
+                         for (y0, x0) in cs])
+                self._field_flags_fn = jax.jit(field_flags)
+            # ONE [T]-bool fetch routes pure-sky tiles to the
+            # field-skipping executable (bit-exact, see render_pixels)
+            flags = np.asarray(self._field_flags_fn(hit))
+            self._last_hit_flags = flags
+        tiles = []
+        for i, (y0, x0) in enumerate(coords):
+            sky_only = bool(flags is not None and not flags[i])
+            tv, td, th, tr = self._slice_fn(vid, dep, hit, raydirs,
+                                            jnp.int32(y0), jnp.int32(x0))
+            nt, dt = self._field_fn(self.params, tv, td, th, tr,
+                                    cam_ori, z, self.global_enc,
+                                    sky_avg, key, sky_only=sky_only)
+            tiles.append((y0, x0, nt, dt))
+        c = tiles[0][2].shape[-1]
+        full = jnp.zeros((1, h, w, c), tiles[0][2].dtype)
+        for y0, x0, nt, _ in tiles:
+            full = self._place_fn(full, nt, jnp.int32(y0),
+                                  jnp.int32(x0))
+        img = self._refine_fn(self.params, full, z)
+        aux_vid = vid if return_aux else None
+        depth_tiles = [(y0, x0, dt) for y0, x0, _, dt in tiles]
+
+        def materialize_split():
+            out_d = np.zeros((h, w), np.float32)
+            for y0, x0, dt in depth_tiles:
+                out_d[y0:y0 + s, x0:x0 + s] = np.asarray(dt[0])
+            p0 = self.pad // 2
+            out_d = out_d[p0:p0 + self.res[0], p0:p0 + self.res[1]]
+            return self._finish(np.asarray(img[0]), out_d, aux_vid,
+                                return_aux)
+        return materialize_split
 
     def export_tile(self, z, path=None, platforms=None, batch=None):
         """AOT-serialize the per-tile render program (`jax.export`).
@@ -283,6 +429,10 @@ class TiledRenderer:
                     }
                 return np.asarray(img[0])
             return materialize_full
+
+        if self.split_refine:
+            return self._frame_split(vid, dep, hit, raydirs, cam_ori,
+                                     z, sky_avg, key, return_aux)
 
         coords = []
         for y0 in range(0, self.res[0], self.tile):

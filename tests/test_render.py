@@ -100,7 +100,10 @@ def test_mesh_tiled_matches_serial(model_world):
     style = jax.random.normal(jax.random.PRNGKey(6), (1, TINY.style_dims))
     kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
                   resolution_hw=(32, 48), fov=40.0, tile_size=16)
-    r_serial = TiledRenderer(model, params, world, **kwargs)
+    # mesh mode uses the padded-tile program; compare against the same
+    # program serially (split_refine is a different — exacter — path)
+    r_serial = TiledRenderer(model, params, world, split_refine=False,
+                             **kwargs)
     r_mesh = TiledRenderer(model, params, world, mesh=pm.make_mesh(),
                            **kwargs)
     z = r_serial.style_z(style)
@@ -209,3 +212,35 @@ def test_sky_fast_path_bit_exact_bf16():
     flags = r_fast._last_hit_flags
     assert flags is not None and (~flags).any() and flags.any()
     np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_split_refine_matches_full_frame(model_world):
+    """Split-refine (pointwise field on non-overlapping tiles, stitched
+    on device, ONE full-frame RenderCNN) must reproduce the untiled
+    full-frame render: the field values are bit-identical (pointwise),
+    so the stitched feature map equals the full-frame one and only conv
+    rounding across program shapes can differ. Depth is pointwise and
+    must be exact."""
+    model, params, world = model_world
+    style = jax.random.normal(jax.random.PRNGKey(9), (1, TINY.style_dims))
+    kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
+                  resolution_hw=(32, 48), fov=40.0)
+    r_split = TiledRenderer(model, params, world, tile_size=16, **kwargs)
+    assert r_split.split_refine, 'split path should be default-on'
+    r_full = TiledRenderer(model, params, world, tile_size=None, **kwargs)
+    r_tile = TiledRenderer(model, params, world, tile_size=16,
+                           split_refine=False, **kwargs)
+    z = r_split.style_z(style)
+    from scenedreamer_tpu.scene.camera import EvalCameraController
+    pose = EvalCameraController(world, maxstep=4, pattern=0)[0]
+    img_sp, aux_sp = r_split.frame(pose, z, return_aux=True)
+    img_f, aux_f = r_full.frame(pose, z, return_aux=True)
+    np.testing.assert_allclose(img_sp, img_f, atol=1e-5)
+    np.testing.assert_allclose(aux_sp['depth'], aux_f['depth'],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(aux_sp['first_voxel_id'],
+                                  aux_f['first_voxel_id'])
+    # the padded-tile legacy path agrees away from tile seams
+    img_t = r_tile.frame(pose, z)
+    np.testing.assert_allclose(img_sp[4:12, 4:12], img_t[4:12, 4:12],
+                               atol=5e-2)
