@@ -65,6 +65,11 @@ def main(argv=None):
                    help='second style: interpolate appearance from '
                         '--style/--seed to this across the trajectory '
                         "(a style.npy path, or 'seed:<int>')")
+    p.add_argument('--no_split_refine', action='store_true',
+                   help='disable the split-refine fast path (pointwise '
+                        'field on non-overlapping tiles + one '
+                        'full-frame RenderCNN); the padded-tile loop '
+                        'of the reference is used instead')
     p.add_argument('--tiles_per_batch', type=int, default=1,
                    help='tiles per device dispatch (one compiled '
                         'shape; >1 amortizes per-dispatch RTT over '
@@ -144,7 +149,8 @@ def main(argv=None):
         sample_depth=a.sample_depth, pad=a.pad, tile_size=a.tile_size,
         resolution_hw=tuple(a.resolution), fps=a.fps, seed=a.seed,
         save_depth=a.save_depth, mesh=mesh,
-        tiles_per_batch=a.tiles_per_batch)
+        tiles_per_batch=a.tiles_per_batch,
+        split_refine=False if a.no_split_refine else None)
     print(f'[inference] wrote {a.output_dir}/rgb_render(.mp4)')
 
 

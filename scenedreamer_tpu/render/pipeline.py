@@ -113,15 +113,25 @@ class TiledRenderer:
         # (tile+pad)^2 / tile^2 = 1.52x at the 128/30 defaults); here
         # the pad exists only for the cheap CNN. Output equals the
         # full-frame (untiled) render bit-for-bit in the field and to
-        # conv-rounding in the CNN (tested). Auto-off above ~1.3 MPx
-        # frames (the full-frame CNN activations would not fit HBM) and
-        # in mesh mode (feature assembly across devices not supported).
+        # conv-rounding in the CNN (tested). Off in mesh mode (feature
+        # assembly across devices not supported). Above ~1.4 MPx the
+        # full-frame CNN activations would not fit HBM, so the CNN runs
+        # in full-width row strips with an 8-row halo (>= its 4-row
+        # receptive field): kept rows are either >= halo from the strip
+        # window edge or at the true frame edge, so strip outputs equal
+        # the full-frame CNN by the same argument as the padded tiles.
         if split_refine is None:
             split_refine = os.environ.get(
                 'SCENEDREAMER_SPLIT_REFINE', '1') == '1'
-        self.split_refine = (split_refine and mesh is None
-                             and self.cam_res[0] * self.cam_res[1]
-                             <= 1_400_000)
+        self.split_refine = split_refine and mesh is None
+        self._refine_full = (self.cam_res[0] * self.cam_res[1]
+                             <= int(os.environ.get(
+                                 'SCENEDREAMER_REFINE_FULL_PX',
+                                 '1400000')))
+        self._strip_halo = 8
+        self._strip_rows = max(8, min(
+            int(os.environ.get('SCENEDREAMER_REFINE_STRIP', '256')),
+            self.cam_res[0] - 2 * self._strip_halo))
         self.voxel_dev = jnp.asarray(world.voxel)
         self._compiled = {}
 
@@ -195,6 +205,21 @@ class TiledRenderer:
             sl = slice(p // 2, -(p // 2))
             return img[:, sl, sl, :]
         self._refine_fn = jax.jit(refine_fn)
+
+        def refine_strip_fn(params, full, z, w0, keep_off):
+            """RenderCNN on one full-width row strip of the stitched
+            feature map (traced offsets -> ONE executable for every
+            strip placement); returns the kept (halo-free) rows."""
+            hw_win = self._strip_rows + 2 * self._strip_halo
+            window = jax.lax.dynamic_slice(
+                full, (0, w0, 0, 0),
+                (1, hw_win, full.shape[2], full.shape[3]))
+            img, _ = self.model.apply(params, window, z,
+                                      method=self.model.refine)
+            return jax.lax.dynamic_slice(
+                img, (0, keep_off, 0, 0),
+                (1, self._strip_rows, img.shape[2], 3))
+        self._refine_strip_fn = jax.jit(refine_strip_fn)
 
         # one executable for every tile placement (traced offsets); the
         # donated full buffer makes the 40 updates in-place on device
@@ -285,7 +310,23 @@ class TiledRenderer:
         for y0, x0, nt, _ in tiles:
             full = self._place_fn(full, nt, jnp.int32(y0),
                                   jnp.int32(x0))
-        img = self._refine_fn(self.params, full, z)
+        if self._refine_full:
+            img = self._refine_fn(self.params, full, z)
+            strips = None
+        else:
+            # giant frames: the CNN runs in halo'd row strips (see
+            # __init__'s split_refine note); the kept rows equal the
+            # full-frame CNN to conv rounding
+            img = None
+            st = self._strip_rows
+            halo = self._strip_halo
+            hw_win = st + 2 * halo
+            strips = []
+            for y0 in self._grid_coords(h, st):
+                w0 = min(max(y0 - halo, 0), h - hw_win)
+                strips.append((y0, self._refine_strip_fn(
+                    self.params, full, z, jnp.int32(w0),
+                    jnp.int32(y0 - w0))))
         aux_vid = vid if return_aux else None
         depth_tiles = [(y0, x0, dt) for y0, x0, _, dt in tiles]
 
@@ -295,8 +336,14 @@ class TiledRenderer:
                 out_d[y0:y0 + s, x0:x0 + s] = np.asarray(dt[0])
             p0 = self.pad // 2
             out_d = out_d[p0:p0 + self.res[0], p0:p0 + self.res[1]]
-            return self._finish(np.asarray(img[0]), out_d, aux_vid,
-                                return_aux)
+            if strips is None:
+                out = np.asarray(img[0])
+            else:
+                buf = np.zeros((h, w, 3), np.float32)
+                for y0, s_img in strips:
+                    buf[y0:y0 + self._strip_rows] = np.asarray(s_img[0])
+                out = buf[p0:p0 + self.res[0], p0:p0 + self.res[1]]
+            return self._finish(out, out_d, aux_vid, return_aux)
         return materialize_split
 
     def export_tile(self, z, path=None, platforms=None, batch=None):
@@ -549,7 +596,7 @@ def render_trajectory(model, params, world, style, output_dir,
                       sample_depth=3.0, pad=30, tile_size=128,
                       resolution_hw=(540, 960), fps=10, seed=1,
                       write_frames=True, save_depth=False, mesh=None,
-                      tiles_per_batch=1):
+                      tiles_per_batch=1, split_refine=None):
     """Full inference: camera trajectory -> rgb_render/*.png + .mp4
     (`scenedreamer.py:479-632`). Returns the list of rendered frames."""
     output_dir = os.path.join(output_dir, 'rgb_render')
@@ -561,7 +608,8 @@ def render_trajectory(model, params, world, style, output_dir,
                              sample_depth=sample_depth, pad=pad,
                              tile_size=tile_size,
                              resolution_hw=resolution_hw, mesh=mesh,
-                             tiles_per_batch=tiles_per_batch)
+                             tiles_per_batch=tiles_per_batch,
+                             split_refine=split_refine)
 
     # side outputs (`scenedreamer.py:563-565`)
     sem = np.argmax(world.semantic_field[0], axis=0)

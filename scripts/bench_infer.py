@@ -30,6 +30,9 @@ def main():
     p.add_argument('--tile', type=int, default=128)
     p.add_argument('--amp', action='store_true',
                    help='bf16 module compute (serving mode)')
+    p.add_argument('--no-split', action='store_true',
+                   help='disable split-refine (A/B the padded-tile '
+                        'loop)')
     a = p.parse_args()
 
     from scenedreamer_tpu.data.synthetic import make_world
@@ -55,7 +58,11 @@ def main():
 
     r = TiledRenderer(model, params, world, num_samples=a.samples,
                       pad=30, tile_size=a.tile,
-                      resolution_hw=tuple(a.resolution))
+                      resolution_hw=tuple(a.resolution),
+                      split_refine=False if a.no_split else None)
+    if r.split_refine:
+        print(f'split-refine ON (field tile {r._field_tile})',
+              flush=True)
     style = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.style_dims))
     z = r.style_z(style)
     ctl = EvalCameraController(world, maxstep=max(a.frames, 2), pattern=0)

@@ -244,3 +244,28 @@ def test_split_refine_matches_full_frame(model_world):
     img_t = r_tile.frame(pose, z)
     np.testing.assert_allclose(img_sp[4:12, 4:12], img_t[4:12, 4:12],
                                atol=5e-2)
+
+
+def test_split_refine_strips_match_full(model_world, monkeypatch):
+    """Giant-frame mode: the RenderCNN applied in halo'd row strips
+    over the stitched feature map must match the full-frame CNN (kept
+    rows are >= the 4-row receptive field from every strip-window edge,
+    or sit at the true frame edge)."""
+    model, params, world = model_world
+    style = jax.random.normal(jax.random.PRNGKey(4), (1, TINY.style_dims))
+    kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
+                  resolution_hw=(32, 48), fov=40.0, tile_size=16)
+    monkeypatch.setenv('SCENEDREAMER_REFINE_FULL_PX', '0')
+    monkeypatch.setenv('SCENEDREAMER_REFINE_STRIP', '10')
+    r_strips = TiledRenderer(model, params, world, **kwargs)
+    assert r_strips.split_refine and not r_strips._refine_full
+    monkeypatch.undo()
+    r_full = TiledRenderer(model, params, world, tile_size=None,
+                           **{k: v for k, v in kwargs.items()
+                              if k != 'tile_size'})
+    z = r_strips.style_z(style)
+    from scenedreamer_tpu.scene.camera import EvalCameraController
+    pose = EvalCameraController(world, maxstep=4, pattern=0)[0]
+    img_s = r_strips.frame(pose, z)
+    img_f = r_full.frame(pose, z)
+    np.testing.assert_allclose(img_s, img_f, atol=1e-5)
