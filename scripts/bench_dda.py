@@ -34,6 +34,10 @@ def main():
     p.add_argument('--depth', type=int, default=None,
                    help='chunks in flight (persistent wavefront); '
                         'default = production WAVEFRONT_DEPTH')
+    p.add_argument('--compact-frac', type=float, default=0.5,
+                   help='compact survivors when active fraction drops '
+                        'below this (host-only decision; bucket '
+                        'executables are shared across values)')
     a = p.parse_args()
 
     from scenedreamer_tpu.data.synthetic import make_world
@@ -61,7 +65,8 @@ def main():
                 outs = rv._wavefront_interleaved(
                     vox, jnp.asarray(ori, jnp.float32),
                     [rdp2[i] for i in range(rdp2.shape[0])], 6,
-                    wave=a.wave, empty_skip=skip, depth=a.depth)
+                    wave=a.wave, empty_skip=skip, depth=a.depth,
+                    compact_frac=a.compact_frac)
                 # force completion (hits fetched once, at the end)
                 hits = sum(float(jnp.sum(o[2])) for o in outs)
                 return hits, outs[-1]
@@ -71,7 +76,8 @@ def main():
             t0 = time.time()
             hits, _ = runw()
             print(f'wavefront skip={skip} wave={a.wave} '
-                  f'depth={a.depth or rv.WAVEFRONT_DEPTH}: '
+                  f'depth={a.depth or rv.WAVEFRONT_DEPTH} '
+                  f'cfrac={a.compact_frac}: '
                   f'{time.time() - t0:7.2f} s/frame (compile+1st {c:.1f}s,'
                   f' hits {int(hits)})', flush=True)
         return
