@@ -42,18 +42,50 @@ if not bool(int(os.environ.get('BENCH_NO_CACHE', '0'))):
 _env = os.environ.get
 FRAME_H = int(_env('BENCH_H', 540))
 FRAME_W = int(_env('BENCH_W', 960))
-TILE = int(_env('BENCH_TILE', 128))
-# Rectangular tiles: a 2x4 grid of 270x240 tiles divides 540x960
-# EXACTLY (no edge-tile shift overlap), so the field processes 1.048x
-# the frame's rays instead of the 128-tile loop's 1.385x (pad halos +
-# edge overlap) — same computation per ray, ~24% less wasted work and
-# 8 dispatches instead of 40. N=1.7M points/tile is the proven
-# crop-256 training-step scale. BENCH_TILE sets both when given.
-TILE_H = int(_env('BENCH_TILE_H', 0)) or TILE
-TILE_W = int(_env('BENCH_TILE_W', 0)) or TILE
+TILE = int(_env('BENCH_TILE', 0))
 NUM_SAMPLES = int(_env('BENCH_SAMPLES', 24))
 MAX_INTERVALS = int(_env('BENCH_M', 6))   # num_blocks_early_stop (train)
 PAD = 6
+
+
+def _pick_tile(frame_h, frame_w, samples, pad,
+               budget=int(_env('BENCH_TILE_BUDGET', 1_750_000))):
+    """Largest exact-divisor tile grid under a points-per-tile budget.
+
+    The square-128 shifted-tile loop pushes 1.385x the frame's rays
+    through the field (pad halos + edge-tile shift overlap). Tiles
+    that divide the frame EXACTLY need no edge shift, so only the pad
+    halo is wasted: a 2x4 grid of 270x240 tiles covers 540x960 with
+    1.048x rays in 8 dispatches instead of 40. The budget caps padded
+    points/tile at the proven crop-256 training-step scale (~1.7M —
+    fits the grad step on one 16 GB v5e, PERF.md). Falls back to the
+    128 shifted loop when no divisor pair fits (prime-ish frames).
+    """
+    best = None
+    div_h = [d for d in range(1, frame_h + 1) if frame_h % d == 0]
+    div_w = [d for d in range(1, frame_w + 1) if frame_w % d == 0]
+    for th in div_h:
+        for tw in div_w:
+            pts = (th + pad) * (tw + pad) * (samples + 1)
+            if pts > budget:
+                continue
+            # prefer more frame coverage per tile; tiebreak on lower
+            # halo waste (smaller perimeter-to-area)
+            key = (th * tw, -((th + pad) * (tw + pad)))
+            if best is None or key > best[0]:
+                best = (key, (th, tw))
+    if best is None or (best[1][0] * best[1][1]
+                        < min(128 * 128, frame_h * frame_w)):
+        return 128, 128
+    return best[1]
+
+
+if TILE:                       # explicit BENCH_TILE: square shifted loop
+    TILE_H = TILE_W = TILE
+else:
+    TILE_H, TILE_W = _pick_tile(FRAME_H, FRAME_W, NUM_SAMPLES, PAD)
+TILE_H = int(_env('BENCH_TILE_H', 0)) or TILE_H
+TILE_W = int(_env('BENCH_TILE_W', 0)) or TILE_W
 WARMUP_STEPS = 2
 TIMED_REPS = int(_env('BENCH_REPS', 1))
 SCENE = int(_env('BENCH_SCENE', 256))
