@@ -49,33 +49,47 @@ PAD = 6
 
 
 def _pick_tile(frame_h, frame_w, samples, pad,
-               budget=int(_env('BENCH_TILE_BUDGET', 1_750_000))):
-    """Largest exact-divisor tile grid under a points-per-tile budget.
+               budget=int(_env('BENCH_TILE_BUDGET', 1_750_000)),
+               area_cap=int(_env('BENCH_TILE_AREA', 262_144))):
+    """Exact-divisor tile grid minimizing total padded rays.
 
     The square-128 shifted-tile loop pushes 1.385x the frame's rays
     through the field (pad halos + edge-tile shift overlap). Tiles
     that divide the frame EXACTLY need no edge shift, so only the pad
     halo is wasted: a 2x4 grid of 270x240 tiles covers 540x960 with
-    1.048x rays in 8 dispatches instead of 40. The budget caps padded
-    points/tile at the proven crop-256 training-step scale (~1.7M —
-    fits the grad step on one 16 GB v5e, PERF.md). Falls back to the
-    128 shifted loop when no divisor pair fits (prime-ish frames).
+    1.048x rays in 8 dispatches instead of 40. Constraints:
+
+    - padded points/tile <= budget: the proven crop-256 training-step
+      scale (~1.7M fits the grad step on one 16 GB v5e, PERF.md);
+    - padded AREA/tile <= area_cap: RenderCNN/activation memory scales
+      with tile area regardless of sample count, so a small
+      BENCH_SAMPLES must not select a near-frame-sized tile;
+    - short side >= 64: a sliver tile (e.g. 541x31) tile-pads its
+      minor axis up to 16-42x on TPU (CLAUDE.md layout note).
+
+    The candidate minimizing TOTAL padded rays across the grid wins;
+    falls back to the 128 shifted loop when no divisor grid beats it
+    (prime-ish frames).
     """
+    import math
+    n128 = math.ceil(frame_h / 128) * math.ceil(frame_w / 128)
+    cost128 = n128 * (128 + pad) * (128 + pad)
+    min_side = min(64, frame_h, frame_w)
     best = None
     div_h = [d for d in range(1, frame_h + 1) if frame_h % d == 0]
     div_w = [d for d in range(1, frame_w + 1) if frame_w % d == 0]
     for th in div_h:
         for tw in div_w:
-            pts = (th + pad) * (tw + pad) * (samples + 1)
-            if pts > budget:
+            if min(th, tw) < min_side:
                 continue
-            # prefer more frame coverage per tile; tiebreak on lower
-            # halo waste (smaller perimeter-to-area)
-            key = (th * tw, -((th + pad) * (tw + pad)))
-            if best is None or key > best[0]:
+            area = (th + pad) * (tw + pad)
+            if area > area_cap or area * (samples + 1) > budget:
+                continue
+            n = (frame_h // th) * (frame_w // tw)
+            key = (n * area, n)        # total padded rays, then dispatches
+            if best is None or key < best[0]:
                 best = (key, (th, tw))
-    if best is None or (best[1][0] * best[1][1]
-                        < min(128 * 128, frame_h * frame_w)):
+    if best is None or best[0][0] >= cost128:
         return 128, 128
     return best[1]
 
@@ -276,24 +290,30 @@ def main():
         return
     batches = [tile_batch(y, x) for (y, x) in tiles]
 
+    def _sync(grads):
+        # host-fetch a scalar derived from a grad leaf, NOT
+        # block_until_ready — the latter can return early over the
+        # axon tunnel (CLAUDE.md timing note; same rule as BENCH_FULL)
+        return float(jnp.sum(jax.tree_util.tree_leaves(grads)[0]))
+
     _log(f'{len(batches)} tiles; compiling grad step...')
     for i in range(WARMUP_STEPS):
         g = step(params, batches[0])
-        jax.block_until_ready(g)
+        _sync(g)
         _log(f'warmup {i} done')
 
     prof_dir = os.environ.get('BENCH_PROFILE', '')
     if prof_dir:
         with jax.profiler.trace(prof_dir):
             g = step(params, batches[0])
-            jax.block_until_ready(g)
+            _sync(g)
         _log(f'profile of one tile written to {prof_dir}')
 
     t0 = time.perf_counter()
     for _ in range(TIMED_REPS):
         for b in batches:
             g = step(params, b)
-    jax.block_until_ready(g)
+    _sync(g)
     dt = time.perf_counter() - t0
     _log(f'timed {TIMED_REPS} reps in {dt:.1f}s')
 

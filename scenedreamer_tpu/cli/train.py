@@ -485,6 +485,10 @@ def main(argv=None):
                 dt = time.time() - t0
                 writer.flush_meters(it)
                 writer.scalar('perf/iters_per_s', logging_iter / dt, it)
+                # cameras admitted past max_rejections must be visible
+                # (the reference retries forever; we bound + count)
+                writer.scalar('sampler/fallback_rate',
+                              builder.sampler.fallback_rate, it)
                 print(f'epoch {epoch} iter {it} '
                       f'({logging_iter / dt:.2f} it/s) '
                       f"G {float(metrics['gen/total']):.3f} "

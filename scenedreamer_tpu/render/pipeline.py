@@ -236,6 +236,21 @@ class TiledRenderer:
         """Raw 128-d style -> intermediate style."""
         return self._style_fn(self.params, style)
 
+    def _tile_hit_flags(self, coords, tile_in, hit):
+        """Per-tile any-hit flags: ONE [T]-bool D2H fetch per frame
+        routes pure-sky tiles to the field-skipping executable."""
+        if self._hit_flags_fn is None:
+            cs = list(coords)
+
+            def hit_flags(hm):
+                return jnp.stack(
+                    [jnp.any(hm[0, y0:y0 + tile_in, x0:x0 + tile_in])
+                     for (y0, x0) in cs])
+            self._hit_flags_fn = jax.jit(hit_flags)
+        flags = np.asarray(self._hit_flags_fn(hit))
+        self._last_hit_flags = flags
+        return flags
+
     @staticmethod
     def _grid_coords(extent, s):
         """Starts of non-overlapping s-tiles covering [0, extent); the
@@ -487,21 +502,39 @@ class TiledRenderer:
                 coords.append((min(y0, h - tile_in),
                                min(x0, w - tile_in)))
         if self.mesh is not None:
-            # ALL tiles in one sharded dispatch over `self.mesh` — the
+            # ALL tiles dispatched sharded over `self.mesh` — the
             # parallel version of the reference's sequential tile loop
-            # (`scenedreamer.py:600-628`)
+            # (`scenedreamer.py:600-628`). Pure-sky tiles ride the
+            # field-skipping executable here too (the serial path's
+            # bit-exactness argument is per-tile, so it transfers);
+            # each group is padded to a device multiple, but the padded
+            # duplicates are dropped ON DEVICE so the D2H fetch carries
+            # only real tiles (remote-link D2H is the scarce resource).
             from jax.sharding import NamedSharding, PartitionSpec as P
             n_dev = int(np.prod([self.mesh.shape[a]
                                  for a in self.mesh.axis_names]))
-            coords_full = coords + [coords[-1]] * ((-len(coords))
-                                                   % n_dev)
             sh = NamedSharding(self.mesh,
                                P(tuple(self.mesh.axis_names)))
             rep = NamedSharding(self.mesh, P())
-            pending = [(coords, self._dispatch_tiles(
-                coords_full, tile_in, vid, dep, hit, raydirs, cam_ori,
-                z, sky_avg, key, place=lambda a: jax.device_put(a, sh),
-                place_params=lambda a: jax.device_put(a, rep)))]
+            groups = [(coords, False)]
+            if self.sky_fast:
+                flags = self._tile_hit_flags(coords, tile_in, hit)
+                hit_c = [c for c, f in zip(coords, flags) if f]
+                sky_c = [c for c, f in zip(coords, flags) if not f]
+                groups = ([(hit_c, False)] if hit_c else []) \
+                    + ([(sky_c, True)] if sky_c else [])
+            pending = []
+            for g_coords, g_sky in groups:
+                g_full = g_coords + [g_coords[-1]] * ((-len(g_coords))
+                                                      % n_dev)
+                imgs, dexps = self._dispatch_tiles(
+                    g_full, tile_in, vid, dep, hit, raydirs, cam_ori,
+                    z, sky_avg, key, sky_only=g_sky,
+                    place=lambda a: jax.device_put(a, sh),
+                    place_params=lambda a: jax.device_put(a, rep))
+                n_real = len(g_coords)
+                pending.append((g_coords,
+                                (imgs[:n_real], dexps[:n_real])))
         else:
             # optionally batch tiles per dispatch (padding keeps ONE
             # compiled shape). Measured on v5e the default of 1 is
@@ -513,18 +546,8 @@ class TiledRenderer:
             tb = self.tiles_per_batch
             flags = None
             if self.sky_fast and tb == 1:
-                if self._hit_flags_fn is None:
-                    cs = list(coords)
-
-                    def hit_flags(hm):
-                        return jnp.stack(
-                            [jnp.any(hm[0, y0:y0 + tile_in,
-                                        x0:x0 + tile_in])
-                             for (y0, x0) in cs])
-                    self._hit_flags_fn = jax.jit(hit_flags)
                 # ONE [T]-bool fetch decides every tile's dispatch
-                flags = np.asarray(self._hit_flags_fn(hit))
-                self._last_hit_flags = flags
+                flags = self._tile_hit_flags(coords, tile_in, hit)
             pending = []
             for s in range(0, len(coords), tb):
                 group = coords[s:s + tb]

@@ -68,6 +68,11 @@ class CameraBatchSampler:
         self.trans = get_label_translator()
         c = cfg
         self.crop_res = (c.crop_size[0] + c.pad, c.crop_size[1] + c.pad)
+        # accept/fallback accounting: the reference retries forever
+        # (`scenedreamer.py:95-145` while True); we bound retries, so
+        # cameras admitted past max_rejections must be OBSERVABLE —
+        # cli/train mirrors fallback_rate through MetricsWriter
+        self.stats = {'proposals': 0, 'accepted': 0, 'fallbacks': 0}
 
         def _one(voxel, ori, cdir, up, cam_f, cam_c):
             rd = camera_rays(cdir, up, cam_f, cam_c, self.crop_res)
@@ -96,6 +101,12 @@ class CameraBatchSampler:
                     voxel, oris, cdirs, ups, cam_fs, cam_cs)
             return vid, dep, hit, rd, jnp.stack([ad, en])
         self._intersect_k = jax.jit(_intersect_k)
+
+    @property
+    def fallback_rate(self):
+        """Fraction of admitted cameras that exhausted max_rejections."""
+        n = self.stats['accepted'] + self.stats['fallbacks']
+        return self.stats['fallbacks'] / n if n else 0.0
 
     def _propose(self, world, rng):
         """One camera proposal (`scenedreamer.py:95-120`)."""
@@ -127,6 +138,7 @@ class CameraBatchSampler:
                                  'raydirs', 'cam_ori')}
         for _ in range(batch_size):
             accepted = None
+            best = None              # (score, tensors) across all rounds
             rounds = max(1, -(-c.max_rejections // k))
             for _round in range(rounds):
                 props = [self._propose(world, rng) for _ in range(k)]
@@ -140,6 +152,7 @@ class CameraBatchSampler:
                 cs = np.asarray([p[4] for p in props], np.float32)
                 vid, dep, hit, rd, metrics = self._intersect_k(
                     voxel, oris, cdirs, ups, fs, cs)
+                self.stats['proposals'] += k
                 # reject: too close (`scenedreamer.py:129-133`) or low
                 # entropy (`:136-143`); ONE [2, K] device->host fetch
                 ad, en = np.asarray(metrics)
@@ -151,9 +164,26 @@ class CameraBatchSampler:
                 if ok.any():
                     i = int(np.argmax(ok))
                     accepted = (vid[i], dep[i], hit[i], rd[i], oris[i])
+                    self.stats['accepted'] += 1
                     break
-            if accepted is None:     # fall back to the last proposal
-                accepted = (vid[-1], dep[-1], hit[-1], rd[-1], oris[-1])
+                # remember the best rejected proposal: passing depth
+                # outranks entropy (too-close views are the worse
+                # failure mode), then higher entropy wins
+                depth_ok = (ad >= c.camera_rej_avg_depth
+                            if c.camera_rej_avg_depth > 0
+                            else np.ones(k, bool))
+                for i in range(k):
+                    score = (bool(depth_ok[i]), float(en[i]))
+                    if best is None or score > best[0]:
+                        best = (score,
+                                (vid[i], dep[i], hit[i], rd[i], oris[i]))
+            if accepted is None:
+                # max_rejections exhausted: admit the BEST proposal seen
+                # (not an arbitrary one) and count it — the reference
+                # would spin forever here; we trade boundedness for an
+                # observable sampler/fallback_rate metric
+                accepted = best[1]
+                self.stats['fallbacks'] += 1
             vid_i, dep_i, hit_i, rd_i, ori_i = accepted
             out['voxel_id'].append(vid_i.reshape(h, w, -1))
             out['depth'].append(dep_i.reshape(h, w, -1, 2))

@@ -10,7 +10,9 @@ proportionally — the training-step analog of the inference sky-tile
 fast path (`render/pipeline.py` sky_only).
 
 Prints per-tile and whole-frame masked fractions for the headline
-bench geometry (540x960, 24 samples, scene 256, tour camera seed 0).
+bench geometry (driven by the same BENCH_* env vars as bench.py and
+the SAME tile picker, so the grid reported is the grid the benchmark
+actually runs).
 
 Usage: python scripts/probe_hit_fraction.py
 """
@@ -27,16 +29,15 @@ import jax.numpy as jnp
 from scenedreamer_tpu.utils.misc import enable_compilation_cache
 enable_compilation_cache()
 
+from bench import (FRAME_H, FRAME_W, PAD, MAX_INTERVALS as M, SCENE,
+                   TILE_H, TILE_W)
 from scenedreamer_tpu.data.synthetic import make_world
 from scenedreamer_tpu.ops.ray_voxel import camera_rays, ray_voxel_intersection
 from scenedreamer_tpu.scene import camera as cam
 
-FRAME_H, FRAME_W, PAD, M = 540, 960, 6, 6
-TILE_H, TILE_W = 270, 240
-
 
 def main():
-    world = make_world(size=256, seed=42)
+    world = make_world(size=SCENE, seed=42)
     cam_h, cam_w = FRAME_H + PAD, FRAME_W + PAD
     rng = np.random.default_rng(0)
     ori, d, up, _f = cam.rand_camera_pose_tour(world, rng)

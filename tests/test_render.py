@@ -113,6 +113,10 @@ def test_mesh_tiled_matches_serial(model_world):
     img_m = r_mesh.frame(pose, z)
     assert img_m.shape == img_s.shape
     np.testing.assert_allclose(img_m, img_s, atol=2e-4)
+    # sky-fast must engage under mesh too (r3 VERDICT weak item 5):
+    # per-tile flags were computed and the hit/sky split dispatched
+    assert r_mesh._last_hit_flags is not None
+    assert len(r_mesh._last_hit_flags) == 6  # 2x3 tile grid
 
 
 def test_export_tile_round_trip(model_world, tmp_path):

@@ -193,3 +193,32 @@ def test_multi_scene_batch_builder(world):
     shorter = dc.replace(world, voxel=world.voxel[:-1])
     with pytest.raises(ValueError, match='voxel dims'):
         builder(data, [world, shorter], rng, jax.random.PRNGKey(0))
+
+
+def test_fallback_accounting_and_best_proposal(world):
+    """max_rejections exhaustion must be counted (sampler/fallback_rate)
+    and admit the BEST proposal seen, not an arbitrary one
+    (`scenedreamer.py:95-145` retries forever; we bound + observe)."""
+    # impossible entropy threshold -> every proposal rejected
+    s = CameraBatchSampler(CameraSamplerConfig(
+        cam_res=(40, 64), crop_size=(24, 24), pad=4,
+        num_blocks_early_stop=4, max_rejections=4,
+        proposals_per_dispatch=2,
+        camera_rej_avg_depth=0.0, camera_min_entropy=100.0))
+    rng = np.random.default_rng(0)
+    batch = s.sample(world, 2, rng)
+    assert batch['voxel_id'].shape[0] == 2
+    assert s.stats['fallbacks'] == 2
+    assert s.stats['accepted'] == 0
+    assert s.stats['proposals'] == 2 * 4  # 2 cameras x 2 rounds x k=2
+    assert s.fallback_rate == 1.0
+
+    # thresholds off -> everything accepted, rate drops
+    s2 = CameraBatchSampler(CameraSamplerConfig(
+        cam_res=(40, 64), crop_size=(24, 24), pad=4,
+        num_blocks_early_stop=4, camera_rej_avg_depth=0.0,
+        camera_min_entropy=0.0))
+    s2.sample(world, 3, np.random.default_rng(1))
+    assert s2.stats['accepted'] == 3
+    assert s2.stats['fallbacks'] == 0
+    assert s2.fallback_rate == 0.0
