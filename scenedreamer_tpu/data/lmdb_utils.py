@@ -6,39 +6,94 @@ Capability parity with the reference LMDB layer
 LMDB whose values are the RAW file bytes keyed by the file's relative
 path, plus an `all_filenames.json` metadata list.
 
-Host-side IO; gated on the `lmdb` package (falls back with a clear
-error if absent so the folder backend remains usable).
+Host-side IO. When the `lmdb` package is available the REAL LMDB
+format is produced/read (byte-compatible with the reference's
+databases). When it is absent (as in this image), an explicit
+substitute KV store backed by stdlib sqlite3 (`fallback_kv.sqlite`
+inside the db directory) keeps the whole build_db -> LMDB-backend ->
+training data path executable; readers auto-detect which format a
+directory holds. The substitute is NOT the LMDB on-disk format — it
+exists so the pipeline leg is exercised, and is clearly marked.
 """
 import json
 import os
 
+_FALLBACK_DB = 'fallback_kv.sqlite'
 
-def _require_lmdb():
+
+def _try_lmdb():
     try:
         import lmdb
         return lmdb
-    except ImportError as e:  # pragma: no cover
-        raise ImportError('lmdb package not available; use the folder '
-                          'dataset backend instead') from e
+    except ImportError:
+        return None
+
+
+class _SqliteKV:
+    """Minimal raw-bytes KV store over stdlib sqlite3 — the in-image
+    substitute for the lmdb package (same get()/keys surface)."""
+
+    def __init__(self, path, readonly=True):
+        import sqlite3
+        self.db = os.path.join(path, _FALLBACK_DB)
+        if readonly and not os.path.exists(self.db):
+            raise FileNotFoundError(self.db)
+        if readonly:
+            self.conn = sqlite3.connect(f'file:{self.db}?mode=ro',
+                                        uri=True)
+        else:
+            self.conn = sqlite3.connect(self.db)
+        if not readonly:
+            self.conn.execute(
+                'CREATE TABLE IF NOT EXISTS kv '
+                '(k TEXT PRIMARY KEY, v BLOB)')
+
+    def put(self, key, value):
+        self.conn.execute('INSERT OR REPLACE INTO kv VALUES (?, ?)',
+                          (key, value))
+
+    def get(self, key):
+        row = self.conn.execute('SELECT v FROM kv WHERE k = ?',
+                                (key,)).fetchone()
+        if row is None:
+            raise KeyError(key)
+        return bytes(row[0])
+
+    def keys(self):
+        return [r[0] for r in
+                self.conn.execute('SELECT k FROM kv ORDER BY k')]
+
+    def close(self):
+        self.conn.commit()
+        self.conn.close()
 
 
 def build_lmdb(file_paths, keys, output_path, map_size=None,
                write_frequency=1000):
-    """Write raw file bytes into an LMDB (`utils/lmdb.py:56-74`)."""
-    lmdb = _require_lmdb()
-    if map_size is None:
-        map_size = sum(os.path.getsize(p) for p in file_paths) * 2 + 10**8
+    """Write raw file bytes into an LMDB (`utils/lmdb.py:56-74`), or
+    into the sqlite substitute when the lmdb package is absent."""
+    lmdb = _try_lmdb()
     os.makedirs(output_path, exist_ok=True)
-    env = lmdb.open(output_path, map_size=map_size)
-    txn = env.begin(write=True)
-    for i, (path, key) in enumerate(zip(file_paths, keys)):
-        with open(path, 'rb') as f:
-            txn.put(key.encode('ascii'), f.read())
-        if (i + 1) % write_frequency == 0:
-            txn.commit()
-            txn = env.begin(write=True)
-    txn.commit()
-    env.close()
+    if lmdb is None:
+        kv = _SqliteKV(output_path, readonly=False)
+        for path, key in zip(file_paths, keys):
+            with open(path, 'rb') as f:
+                kv.put(key, f.read())
+        kv.close()
+    else:
+        if map_size is None:
+            map_size = sum(os.path.getsize(p)
+                           for p in file_paths) * 2 + 10**8
+        env = lmdb.open(output_path, map_size=map_size)
+        txn = env.begin(write=True)
+        for i, (path, key) in enumerate(zip(file_paths, keys)):
+            with open(path, 'rb') as f:
+                txn.put(key.encode('ascii'), f.read())
+            if (i + 1) % write_frequency == 0:
+                txn.commit()
+                txn = env.begin(write=True)
+        txn.commit()
+        env.close()
     with open(os.path.join(output_path, 'all_filenames.json'), 'w') as f:
         json.dump(sorted(keys), f)
 
@@ -70,23 +125,39 @@ def build_paired_lmdbs(data_root, output_root,
 
 
 class LMDBReader:
-    """Read-only raw-bytes LMDB (`utils/lmdb.py:17-54` Dataset half)."""
+    """Read-only raw-bytes LMDB (`utils/lmdb.py:17-54` Dataset half).
+
+    Auto-detects the directory format: a real LMDB (data.mdb) is read
+    with the lmdb package; a `fallback_kv.sqlite` substitute is read
+    with stdlib sqlite3."""
 
     def __init__(self, path):
-        lmdb = _require_lmdb()
-        self.env = lmdb.open(
-            path, max_readers=126, readonly=True, lock=False,
-            readahead=False, meminit=False)
+        self._kv = None
+        if os.path.exists(os.path.join(path, _FALLBACK_DB)):
+            self._kv = _SqliteKV(path, readonly=True)
+            keys = self._kv.keys()
+        else:
+            lmdb = _try_lmdb()
+            if lmdb is None:
+                raise ImportError(
+                    f'{path} holds a real LMDB but the lmdb package is '
+                    'unavailable; rebuild with cli.build_db (sqlite '
+                    'substitute) or use the folder backend')
+            self.env = lmdb.open(
+                path, max_readers=126, readonly=True, lock=False,
+                readahead=False, meminit=False)
+            with self.env.begin() as txn:
+                keys = [k.decode('ascii') for k, _ in txn.cursor()]
         meta = os.path.join(path, 'all_filenames.json')
         if os.path.exists(meta):
             with open(meta) as f:
                 self.keys = json.load(f)
         else:
-            with self.env.begin() as txn:
-                self.keys = [k.decode('ascii')
-                             for k, _ in txn.cursor()]
+            self.keys = keys
 
     def get(self, key):
+        if self._kv is not None:
+            return self._kv.get(key)
         with self.env.begin(write=False) as txn:
             buf = txn.get(key.encode('ascii'))
         if buf is None:

@@ -52,9 +52,10 @@ def test_demo_get_bev_headless():
 
 
 def test_build_db_cli_roundtrip(tmp_path):
-    """`cli/build_db.py` end-to-end: folder tree -> paired LMDBs
-    readable by the lmdb dataset backend."""
-    pytest.importorskip('lmdb')
+    """`cli/build_db.py` end-to-end: folder tree -> paired DBs
+    readable by the lmdb dataset backend (real LMDB when the package
+    exists, the sqlite substitute otherwise — either way the data
+    pipeline leg executes)."""
     import cv2
     from scenedreamer_tpu.cli import build_db
     from scenedreamer_tpu.data.paired_dataset import PairedImageDataset

@@ -108,7 +108,6 @@ def test_loader_workers_bitwise_equal(folder_root):
 
 
 def test_lmdb_roundtrip(folder_root, tmp_path):
-    pytest.importorskip('lmdb')
     from scenedreamer_tpu.data.lmdb_utils import build_paired_lmdbs
     n = build_paired_lmdbs(folder_root, str(tmp_path / 'db'))
     assert n == 6
