@@ -224,6 +224,19 @@ def main(argv=None):
             print(f'[train_spade] resumed at iteration {it} '
                   f'from {resume_dir}')
 
+    # SIGTERM/SIGINT -> checkpoint and exit cleanly (AutoResume parity
+    # with cli/train; `trainers/base.py:236-265` save-on-preemption)
+    import signal
+    stop_requested = {'flag': False}
+
+    def _on_term(signum, frame):
+        stop_requested['flag'] = True
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_term)
+        except ValueError:          # non-main thread (tests)
+            pass
+
     start_epoch = it // iters_per_epoch
     t0 = time.time()
     pending = []
@@ -231,6 +244,11 @@ def main(argv=None):
     for epoch in range(start_epoch, max_epoch):
         loader.set_epoch(epoch)
         for batch in loader:
+            if stop_requested['flag']:
+                print('[train_spade] termination requested - '
+                      'checkpointing')
+                done = True
+                break
             batch = {'images': place_batch(batch['images']),
                      'label': place_batch(batch['label'])}
             key, sub = jax.random.split(key)

@@ -78,7 +78,7 @@ class TiledRenderer:
                  num_blocks_early_stop=6, sample_depth=3.0, pad=30,
                  tile_size=128, resolution_hw=(540, 960), fov=26.0,
                  tiles_per_batch=1, mesh=None, sky_fast=True,
-                 split_refine=None):
+                 split_refine=None, field_tiles_per_batch=None):
         self.model = model
         self.params = params
         self.world = world
@@ -128,6 +128,13 @@ class TiledRenderer:
                              <= int(os.environ.get(
                                  'SCENEDREAMER_REFINE_FULL_PX',
                                  '1400000')))
+        # split-refine field dispatches grouped K per dispatch: each
+        # remote dispatch costs ~RTT, so many-tile frames amortize it
+        # K-fold; per-tile values are identical to K=1 (tested).
+        if field_tiles_per_batch is None:
+            field_tiles_per_batch = int(os.environ.get(
+                'SCENEDREAMER_FIELD_TPB', '1'))
+        self.field_tiles_per_batch = max(1, field_tiles_per_batch)
         self._strip_halo = 8
         self._strip_rows = max(8, min(
             int(os.environ.get('SCENEDREAMER_REFINE_STRIP', '256')),
@@ -197,6 +204,50 @@ class TiledRenderer:
                                   / jnp.maximum(tw, 1e-6), jnp.inf)
             return out['net_out'], depth_exp
         self._field_fn = jax.jit(field_fn, static_argnames=('sky_only',))
+
+        # K field tiles per dispatch (split-refine): slice K tiles,
+        # broadcast the per-frame operands, run the field at batch K,
+        # and place the results — ONE remote dispatch per group instead
+        # of K (the ~30 ms-per-dispatch tunnel RTT dominates many-tile
+        # frames; PERF.md headroom item 4). Tile values equal the
+        # serial dispatches to f32 rounding (the hash encode is exact
+        # under lax.map; the MLP matmuls may block differently at
+        # batch K — measured <= 1 ULP, tested).
+        def field_group_fn(params, vid, dep, hit, rd, cam_ori, z,
+                           global_enc, sky_avg, ys, xs, key,
+                           sky_only=False):
+            k = ys.shape[0]
+            sm = self.m
+            s_ = self._field_tile
+
+            def one(y, x):
+                return (jax.lax.dynamic_slice(vid, (0, y, x, 0),
+                                              (1, s_, s_, sm))[0],
+                        jax.lax.dynamic_slice(dep, (0, y, x, 0, 0),
+                                              (1, s_, s_, sm, 2))[0],
+                        jax.lax.dynamic_slice(hit, (0, y, x, 0),
+                                              (1, s_, s_, sm))[0],
+                        jax.lax.dynamic_slice(rd, (0, y, x, 0),
+                                              (1, s_, s_, 3))[0])
+            tv, td, th, tr = jax.vmap(one)(ys, xs)
+            bc = lambda a: jnp.broadcast_to(a, (k,) + a.shape[1:])
+            return field_fn(params, tv, td, th, tr, bc(cam_ori),
+                            bc(z),
+                            jax.tree_util.tree_map(bc, global_enc),
+                            bc(sky_avg), key, sky_only=sky_only)
+        self._field_group_fn = jax.jit(field_group_fn,
+                                       static_argnames=('sky_only',))
+
+        def place_group_fn(full, tiles, ys, xs):
+            """Accumulate a [K, s, s, C] tile stack into the stitched
+            feature map (donated buffer, one dispatch per group)."""
+            def body(i, f):
+                t = jax.lax.dynamic_index_in_dim(tiles, i, 0)
+                return jax.lax.dynamic_update_slice(
+                    f, t, (0, ys[i], xs[i], 0))
+            return jax.lax.fori_loop(0, tiles.shape[0], body, full)
+        self._place_group_fn = jax.jit(place_group_fn,
+                                       donate_argnums=(0,))
 
         def refine_fn(params, net_out, z):
             img, _ = self.model.apply(params, net_out, z,
@@ -311,20 +362,55 @@ class TiledRenderer:
             # field-skipping executable (bit-exact, see render_pixels)
             flags = np.asarray(self._field_flags_fn(hit))
             self._last_hit_flags = flags
-        tiles = []
-        for i, (y0, x0) in enumerate(coords):
-            sky_only = bool(flags is not None and not flags[i])
-            tv, td, th, tr = self._slice_fn(vid, dep, hit, raydirs,
-                                            jnp.int32(y0), jnp.int32(x0))
-            nt, dt = self._field_fn(self.params, tv, td, th, tr,
-                                    cam_ori, z, self.global_enc,
-                                    sky_avg, key, sky_only=sky_only)
-            tiles.append((y0, x0, nt, dt))
-        c = tiles[0][2].shape[-1]
-        full = jnp.zeros((1, h, w, c), tiles[0][2].dtype)
-        for y0, x0, nt, _ in tiles:
-            full = self._place_fn(full, nt, jnp.int32(y0),
-                                  jnp.int32(x0))
+        tpb = self.field_tiles_per_batch
+        if tpb > 1:
+            # K tiles per dispatch (~T/K dispatches; per-tile values
+            # equal K=1 to f32 rounding, see __init__). Groups are per
+            # sky flag; short groups repeat the last tile (re-placing
+            # a tile writes the same values, so padding is harmless).
+            if flags is not None:
+                parts = [([cc for cc, f in zip(coords, flags) if f],
+                          False),
+                         ([cc for cc, f in zip(coords, flags)
+                           if not f], True)]
+            else:
+                parts = [(list(coords), False)]
+            full = None
+            depth_parts = []
+            for g_coords, g_sky in parts:
+                for i0 in range(0, len(g_coords), tpb):
+                    grp = g_coords[i0:i0 + tpb]
+                    grp_full = grp + [grp[-1]] * (tpb - len(grp))
+                    ys = jnp.asarray([g[0] for g in grp_full],
+                                     jnp.int32)
+                    xs = jnp.asarray([g[1] for g in grp_full],
+                                     jnp.int32)
+                    nt, dt = self._field_group_fn(
+                        self.params, vid, dep, hit, raydirs, cam_ori,
+                        z, self.global_enc, sky_avg, ys, xs, key,
+                        sky_only=g_sky)
+                    if full is None:
+                        full = jnp.zeros((1, h, w, nt.shape[-1]),
+                                         nt.dtype)
+                    full = self._place_group_fn(full, nt, ys, xs)
+                    depth_parts.append((grp, dt))
+        else:
+            tiles = []
+            for i, (y0, x0) in enumerate(coords):
+                sky_only = bool(flags is not None and not flags[i])
+                tv, td, th, tr = self._slice_fn(vid, dep, hit, raydirs,
+                                                jnp.int32(y0),
+                                                jnp.int32(x0))
+                nt, dt = self._field_fn(self.params, tv, td, th, tr,
+                                        cam_ori, z, self.global_enc,
+                                        sky_avg, key, sky_only=sky_only)
+                tiles.append((y0, x0, nt, dt))
+            c = tiles[0][2].shape[-1]
+            full = jnp.zeros((1, h, w, c), tiles[0][2].dtype)
+            for y0, x0, nt, _ in tiles:
+                full = self._place_fn(full, nt, jnp.int32(y0),
+                                      jnp.int32(x0))
+            depth_parts = [([(y0, x0)], dt) for y0, x0, _, dt in tiles]
         if self._refine_full:
             img = self._refine_fn(self.params, full, z)
             strips = None
@@ -343,12 +429,13 @@ class TiledRenderer:
                     self.params, full, z, jnp.int32(w0),
                     jnp.int32(y0 - w0))))
         aux_vid = vid if return_aux else None
-        depth_tiles = [(y0, x0, dt) for y0, x0, _, dt in tiles]
 
         def materialize_split():
             out_d = np.zeros((h, w), np.float32)
-            for y0, x0, dt in depth_tiles:
-                out_d[y0:y0 + s, x0:x0 + s] = np.asarray(dt[0])
+            for grp, dt in depth_parts:
+                d_np = np.asarray(dt)       # one fetch per group
+                for i, (y0, x0) in enumerate(grp):
+                    out_d[y0:y0 + s, x0:x0 + s] = d_np[i]
             p0 = self.pad // 2
             out_d = out_d[p0:p0 + self.res[0], p0:p0 + self.res[1]]
             if strips is None:

@@ -273,3 +273,34 @@ def test_split_refine_strips_match_full(model_world, monkeypatch):
     img_s = r_strips.frame(pose, z)
     img_f = r_full.frame(pose, z)
     np.testing.assert_allclose(img_s, img_f, atol=1e-5)
+
+
+def test_split_refine_grouped_dispatch_exact(model_world):
+    """K-per-dispatch field groups (field_tiles_per_batch>1) must
+    reproduce the serial split-refine dispatches to f32 rounding: the
+    hash encode is pointwise-exact under lax.map; the MLP matmuls may
+    block differently at batch K (measured <= 1 ULP)
+    (r3 VERDICT item 6 — dispatch batching for remote serving)."""
+    model, params, world = model_world
+    style = jax.random.normal(jax.random.PRNGKey(3), (1, TINY.style_dims))
+    kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
+                  resolution_hw=(32, 48), fov=40.0, tile_size=16)
+    r1 = TiledRenderer(model, params, world, field_tiles_per_batch=1,
+                       **kwargs)
+    r3 = TiledRenderer(model, params, world, field_tiles_per_batch=3,
+                       **kwargs)
+    assert r1.split_refine and r3.split_refine
+    z = r1.style_z(style)
+    # sky-heavy pose so hit AND sky groups both exist and need padding
+    ori = np.array([world.dims[0] * 0.5, 10.0, 10.0], np.float32)
+    pose = (ori, np.array([0.9, 0.3, 0.3], np.float32),
+            np.array([1.0, 0.0, 0.0], np.float32),
+            0.5 / np.tan(np.deg2rad(20.0)))
+    img_1, aux_1 = r1.frame(pose, z, return_aux=True)
+    img_3, aux_3 = r3.frame(pose, z, return_aux=True)
+    flags = r3._last_hit_flags
+    assert flags is not None and flags.any() and (~flags).any()
+    np.testing.assert_allclose(img_1, img_3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.nan_to_num(aux_1['depth'], posinf=1e9),
+        np.nan_to_num(aux_3['depth'], posinf=1e9), rtol=1e-6)
