@@ -101,11 +101,60 @@ def build_everything(cfg, args):
     # worlds
     world_cache = WorldCache(args.terrain_cache)
 
-    # SPADE pseudo-GT oracle (frozen; converted weights when provided).
-    # 184 labels: the pseudo-GT one-hot is 185-ch but the oracle
-    # consumes label[..., :-1] exactly like the reference
-    # (`trainers/gancraft.py:53`, trained landscape1m SPADE is
-    # 184-label per `landscape1m.yaml`)
+    spade_apply = _load_spade_oracle(args)
+    sampler, pseudo_gt, builder = _build_sampler_and_pgt(
+        cfg, args, spade_apply,
+        num_blocks_early_stop=gcfg.num_blocks_early_stop)
+
+    # losses / trainer
+    lw = dict(cfg.get('trainer', {}).get('loss_weight',
+                                         L.DEFAULT_LOSS_WEIGHTS))
+    if not lw:
+        # Config injects an empty loss_weight default (`config.py:86`);
+        # an empty dict would train with a constant-zero objective
+        lw = dict(L.DEFAULT_LOSS_WEIGHTS)
+    perc_cfg = cfg.get('trainer', {}).get('perceptual_loss', None)
+    perceptual = None
+    if 'perceptual' in lw:
+        kwargs = {}
+        if perc_cfg:
+            kwargs = dict(layers=tuple(perc_cfg['layers']),
+                          weights=tuple(perc_cfg['weights']))
+        perceptual = L.PerceptualLoss(dtype=model_dtype, **kwargs)
+    ema_cfg = cfg.get('trainer', {}).get('model_average_config', {})
+    ema_beta = 0.0
+    if ema_cfg.get('enabled', False):
+        if 'g_smooth_img' in ema_cfg:
+            # half-life parameterization (`utils/trainer.py:158-167`):
+            # beta = 0.5 ** (global_batch / g_smooth_img)
+            import jax as _jax
+            global_batch = args.batch_size * _jax.process_count()
+            ema_beta = 0.5 ** (global_batch
+                               / float(ema_cfg['g_smooth_img']))
+        else:
+            ema_beta = float(ema_cfg.get('beta', 0.9999))
+    trainer = GANTrainer(
+        generator, discriminator, voxel_dims=None,  # set per world
+        cfg=TrainerConfig(
+            loss_weights=lw,
+            ema_beta=ema_beta),
+        perceptual=perceptual, iters_per_epoch=max(len(loader), 1))
+    return (generator, discriminator, loader, world_cache, builder,
+            trainer, gcfg)
+
+
+def _load_spade_oracle(args):
+    """Build the frozen SPADE pseudo-GT oracle apply function (frozen;
+    converted weights when provided). 184 labels: the pseudo-GT one-hot
+    is 185-ch but the oracle consumes label[..., :-1] exactly like the
+    reference (`trainers/gancraft.py:53`, trained landscape1m SPADE is
+    184-label per `landscape1m.yaml`). `args` needs spade_checkpoint /
+    spade_size / spade_res / spade_filters / spade_oracle_f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenedreamer_tpu.models.spade import SPADEWrapper
+
     spade = SPADEWrapper(num_labels=184, out_size=args.spade_size,
                          num_filters=args.spade_filters)
     seg0 = np.zeros((1, args.spade_res, args.spade_res, 184),
@@ -180,11 +229,24 @@ def build_everything(cfg, args):
             masks = masks.astype(jnp.bfloat16)
         return spade.apply(sp_vars, {'label': masks}, random_style=True,
                            rngs={'style': key})['fake_images']
+    return spade_apply
 
+
+def _build_sampler_and_pgt(cfg, args, spade_apply,
+                           num_blocks_early_stop=6):
+    """Camera sampler + pseudo-GT + batch builder from a config dict
+    (shared by training and scripts/make_pseudo_gt_set.py)."""
+    from scenedreamer_tpu.train.sampling import (CameraBatchSampler,
+                                                 CameraSamplerConfig,
+                                                 PseudoGTGenerator,
+                                                 TrainingBatchBuilder)
+    gen_cfg = cfg.get('gen', {})
+    crop = tuple(gen_cfg.get('crop_size', (256, 256)))
+    pad = int(gen_cfg.get('pad', 6))
     sampler = CameraBatchSampler(CameraSamplerConfig(
         cam_res=tuple(gen_cfg.get('cam_res', (360, 640))),
         crop_size=crop, pad=pad,
-        num_blocks_early_stop=gcfg.num_blocks_early_stop,
+        num_blocks_early_stop=num_blocks_early_stop,
         camera_sampler_type=gen_cfg.get('camera_sampler_type',
                                         'traditional'),
         camera_rej_avg_depth=float(gen_cfg.get('camera_rej_avg_depth',
@@ -197,42 +259,7 @@ def build_everything(cfg, args):
                                               True)),
         label_smooth_dia=int(gen_cfg.get('label_smooth_dia', 11)))
     builder = TrainingBatchBuilder(sampler, pseudo_gt)
-
-    # losses / trainer
-    lw = dict(cfg.get('trainer', {}).get('loss_weight',
-                                         L.DEFAULT_LOSS_WEIGHTS))
-    if not lw:
-        # Config injects an empty loss_weight default (`config.py:86`);
-        # an empty dict would train with a constant-zero objective
-        lw = dict(L.DEFAULT_LOSS_WEIGHTS)
-    perc_cfg = cfg.get('trainer', {}).get('perceptual_loss', None)
-    perceptual = None
-    if 'perceptual' in lw:
-        kwargs = {}
-        if perc_cfg:
-            kwargs = dict(layers=tuple(perc_cfg['layers']),
-                          weights=tuple(perc_cfg['weights']))
-        perceptual = L.PerceptualLoss(dtype=model_dtype, **kwargs)
-    ema_cfg = cfg.get('trainer', {}).get('model_average_config', {})
-    ema_beta = 0.0
-    if ema_cfg.get('enabled', False):
-        if 'g_smooth_img' in ema_cfg:
-            # half-life parameterization (`utils/trainer.py:158-167`):
-            # beta = 0.5 ** (global_batch / g_smooth_img)
-            import jax as _jax
-            global_batch = args.batch_size * _jax.process_count()
-            ema_beta = 0.5 ** (global_batch
-                               / float(ema_cfg['g_smooth_img']))
-        else:
-            ema_beta = float(ema_cfg.get('beta', 0.9999))
-    trainer = GANTrainer(
-        generator, discriminator, voxel_dims=None,  # set per world
-        cfg=TrainerConfig(
-            loss_weights=lw,
-            ema_beta=ema_beta),
-        perceptual=perceptual, iters_per_epoch=max(len(loader), 1))
-    return (generator, discriminator, loader, world_cache, builder,
-            trainer, gcfg)
+    return sampler, pseudo_gt, builder
 
 
 def main(argv=None):
