@@ -155,14 +155,7 @@ def _load_spade_oracle(args):
     import numpy as np
     from scenedreamer_tpu.models.spade import SPADEWrapper
 
-    spade = SPADEWrapper(num_labels=184, out_size=args.spade_size,
-                         num_filters=args.spade_filters)
-    seg0 = np.zeros((1, args.spade_res, args.spade_res, 184),
-                    np.float32)
-    seg0[..., 0] = 1.0
-    sp_vars = spade.init({'params': jax.random.PRNGKey(0),
-                          'style': jax.random.PRNGKey(1)},
-                         {'label': seg0}, random_style=True)
+    sp_vars = None
     if args.spade_checkpoint:
         if args.spade_checkpoint.endswith(('.pt', '.pth')):
             # reference torch checkpoint (`trainers/gancraft.py:30-42`
@@ -207,7 +200,27 @@ def _load_spade_oracle(args):
                 'SPADE with label[..., :-1]. Re-export the checkpoint '
                 'at 184 labels.')
         print('[train] loaded SPADE oracle weights')
-    else:
+
+    # architecture knobs come from the CHECKPOINT when one is loaded
+    # (a trained oracle may use any generator/norm widths — e.g.
+    # train_spade --num-filters 32 --spade-filters 32 — and the CLI
+    # flags only describe the default reference shape)
+    nf, sf, sd = args.spade_filters, 128, 256
+    if sp_vars is not None:
+        pg = sp_vars['params']['spade_generator']
+        nf = int(np.shape(pg['head_0']['kernel'])[3]) // 8
+        sf = int(np.shape(pg['head_1']['norm0']['mlp']['kernel'])[3])
+        sd = int(np.shape(pg['fc_0']['kernel'])[0])
+    spade = SPADEWrapper(num_labels=184, out_size=args.spade_size,
+                         num_filters=nf, spade_filters=sf,
+                         style_dims=sd)
+    if sp_vars is None:
+        seg0 = np.zeros((1, args.spade_res, args.spade_res, 184),
+                        np.float32)
+        seg0[..., 0] = 1.0
+        sp_vars = spade.init({'params': jax.random.PRNGKey(0),
+                              'style': jax.random.PRNGKey(1)},
+                             {'label': seg0}, random_style=True)
         print('[train] WARNING: SPADE oracle randomly initialized '
               '(provide --spade-checkpoint for real pseudo-GT)')
 
