@@ -59,6 +59,26 @@ def load_images(paths, size):
     return np.stack(out)
 
 
+def make_pixel_feature_fn(grid=16):
+    """VGG-independent extractor: images are area-resized to a
+    grid x grid RGB patch and flattened — FID/KID over these features
+    measures color/low-frequency-structure distribution match
+    directly, with no dependence on (random-init) VGG weights. Scores
+    are interpretable whenever the generator's objective includes an
+    L2/perceptual pull toward the target distribution (it does:
+    `trainers/gancraft.py:166-204`)."""
+    import cv2
+    import numpy as np
+
+    def run(images):
+        out = [cv2.resize(im, (grid, grid),
+                          interpolation=cv2.INTER_AREA).reshape(-1)
+               for im in images]
+        return np.stack(out).astype(np.float64)
+
+    return run
+
+
 def make_feature_fn(image_size, vgg_checkpoint='', tap='relu_5_1',
                     batch=16):
     """-> callable [N,H,W,3] in [-1,1] -> [N, D] float features."""
@@ -170,6 +190,11 @@ def main(argv=None):
     p.add_argument('--batch', type=int, default=16)
     p.add_argument('--vgg-checkpoint', default='',
                    help='torchvision vgg19 .pt/.npz for real features')
+    p.add_argument('--extractor', default='vgg19',
+                   choices=['vgg19', 'pixel'],
+                   help="'pixel' = 16x16 RGB patch statistics — "
+                        'VGG-independent, interpretable color/'
+                        'structure FID when no pretrained VGG exists')
     p.add_argument('--kid-subset-size', type=int, default=1000)
     p.add_argument('--output', default='',
                    help='also write the JSON result here')
@@ -202,16 +227,20 @@ def main(argv=None):
     print(f'[evaluate] real={len(real)} fake={len(fake)} '
           f'@ {a.image_size}px')
 
-    feats = make_feature_fn(a.image_size, a.vgg_checkpoint,
-                            batch=a.batch)
+    if a.extractor == 'pixel':
+        feats = make_pixel_feature_fn()
+        ex_name = 'pixel16'
+    else:
+        feats = make_feature_fn(a.image_size, a.vgg_checkpoint,
+                                batch=a.batch)
+        ex_name = 'vgg19' if a.vgg_checkpoint else 'vgg19-random-init'
     fr, ff = feats(real), feats(fake)
     fid = compute_fid(fr, ff)
     kid_mean, kid_std = compute_kid(fr, ff,
                                     subset_size=a.kid_subset_size)
     result = {'fid': round(fid, 4), 'kid': round(kid_mean, 6),
               'kid_std': round(kid_std, 6), 'num_real': len(real),
-              'num_fake': len(ff), 'extractor':
-              ('vgg19' if a.vgg_checkpoint else 'vgg19-random-init')}
+              'num_fake': len(ff), 'extractor': ex_name}
     line = json.dumps(result)
     print(line)
     if a.output:

@@ -58,27 +58,33 @@ def main(argv=None):
                  '--crop', str(a.crop), '--seed', '123'] + cfg + plat,
                 check=True, cwd=os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__))))
-        out = os.path.join(a.outdir, f'eval_{step:06d}.json')
-        subprocess.run(
-            [sys.executable, '-m', 'scenedreamer_tpu.cli.evaluate',
-             '--real-dir', a.real_dir, '--fake-dir', fake_dir,
-             '--image-size', str(a.image_size), '--output', out] + plat,
-            check=True, cwd=os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))))
-        with open(out) as f:
-            r = json.load(f)
-        r['step'] = step
-        rows.append(r)
-        print(f'[campaign_eval] step {step}: fid {r["fid"]:.4f} '
-              f'kid {r["kid"]:.6f}')
+        row = {'step': step}
+        for ex in ('vgg19', 'pixel'):
+            out = os.path.join(a.outdir, f'eval_{step:06d}_{ex}.json')
+            subprocess.run(
+                [sys.executable, '-m', 'scenedreamer_tpu.cli.evaluate',
+                 '--real-dir', a.real_dir, '--fake-dir', fake_dir,
+                 '--image-size', str(a.image_size),
+                 '--extractor', ex, '--output', out] + plat,
+                check=True, cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))))
+            with open(out) as f:
+                r = json.load(f)
+            row[f'fid_{ex}'] = r['fid']
+            row[f'kid_{ex}'] = r['kid']
+        rows.append(row)
+        print(f'[campaign_eval] step {step}: {row}')
     table = os.path.join(a.outdir, 'fid_table.json')
     with open(table, 'w') as f:
         json.dump(rows, f, indent=1)
     print(f'[campaign_eval] wrote {table}')
-    print('| step | FID (vgg) | KID |')
-    print('|---|---|---|')
+    print('| step | FID (vgg-rel) | KID (vgg-rel) | FID (pixel) | '
+          'KID (pixel) |')
+    print('|---|---|---|---|---|')
     for r in rows:
-        print(f'| {r["step"]} | {r["fid"]:.4f} | {r["kid"]:.6f} |')
+        print(f'| {r["step"]} | {r["fid_vgg19"]:.4f} | '
+              f'{r["kid_vgg19"]:.6f} | {r["fid_pixel"]:.4f} | '
+              f'{r["kid_pixel"]:.6f} |')
 
 
 if __name__ == '__main__':
