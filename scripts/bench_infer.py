@@ -33,6 +33,9 @@ def main():
     p.add_argument('--no-split', action='store_true',
                    help='disable split-refine (A/B the padded-tile '
                         'loop)')
+    p.add_argument('--field-tpb', type=int, default=None,
+                   help='split-refine field tiles per dispatch '
+                        '(default: SCENEDREAMER_FIELD_TPB or 1)')
     a = p.parse_args()
 
     from scenedreamer_tpu.data.synthetic import make_world
@@ -59,10 +62,11 @@ def main():
     r = TiledRenderer(model, params, world, num_samples=a.samples,
                       pad=30, tile_size=a.tile,
                       resolution_hw=tuple(a.resolution),
-                      split_refine=False if a.no_split else None)
+                      split_refine=False if a.no_split else None,
+                      field_tiles_per_batch=a.field_tpb)
     if r.split_refine:
-        print(f'split-refine ON (field tile {r._field_tile})',
-              flush=True)
+        print(f'split-refine ON (field tile {r._field_tile}, '
+              f'{r.field_tiles_per_batch}/dispatch)', flush=True)
     style = jax.random.normal(jax.random.PRNGKey(5), (1, cfg.style_dims))
     z = r.style_z(style)
     ctl = EvalCameraController(world, maxstep=max(a.frames, 2), pattern=0)

@@ -130,3 +130,34 @@ def test_evaluate_list_images_prefers_images_subdir(tmp_path):
     # flat layout still works
     flat = list_images(str(tmp_path / 'seg_maps'))
     assert len(flat) == 3
+
+
+def test_evaluate_cli_pixel_extractor(tmp_path):
+    """--extractor pixel (VGG-independent patch statistics): identical
+    sets score 0, a color-shifted set scores strictly worse — with far
+    stronger discrimination than random-init VGG features."""
+    import json
+
+    import cv2
+    from scenedreamer_tpu.cli import evaluate
+    rng = np.random.default_rng(1)
+    for d in ('real', 'same', 'shifted'):
+        (tmp_path / d).mkdir()
+    for i in range(5):
+        img = rng.integers(0, 200, (48, 48, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / 'real' / f'{i}.png'), img)
+        cv2.imwrite(str(tmp_path / 'same' / f'{i}.png'), img)
+        cv2.imwrite(str(tmp_path / 'shifted' / f'{i}.png'), img + 55)
+
+    def run(fake):
+        out = tmp_path / f'{fake}_px.json'
+        evaluate.main(['--real-dir', str(tmp_path / 'real'),
+                       '--fake-dir', str(tmp_path / fake),
+                       '--image-size', '48', '--extractor', 'pixel',
+                       '--output', str(out)])
+        return json.loads(out.read_text())
+
+    same, shifted = run('same'), run('shifted')
+    assert same['extractor'] == 'pixel16'
+    assert abs(same['fid']) < 1e-6
+    assert shifted['fid'] > 1.0        # strong separation
