@@ -184,6 +184,9 @@ class TiledRenderer:
             sl = slice(p // 2, -(p // 2))
             return img[:, sl, sl, :], depth_exp[:, sl, sl]
         self._tile_fn = jax.jit(tile_fn, static_argnames=('sky_only',))
+        self._tile_fn_py = tile_fn
+        self._mesh_tile_fns = {}
+        self._params_rep = None
         self._hit_flags_fn = None
 
         def field_fn(params, voxel_id, depth, hit, raydirs, cam_ori, z,
@@ -286,6 +289,66 @@ class TiledRenderer:
     def style_z(self, style):
         """Raw 128-d style -> intermediate style."""
         return self._style_fn(self.params, style)
+
+    def _mesh_tile_fn(self, sky_only):
+        """shard_map'd padded-tile program for mesh mode: the tile
+        batch axis is sharded over every mesh device and each device
+        runs the EXACT serial tile program on its shard. This is the
+        load-bearing detail: the hash encode evaluates batch>1 with
+        `lax.map` over the batch (models/generator.py field_features —
+        vmap measured 5x slower), and a lax.map over a SHARDED axis
+        serializes the whole dispatch; under shard_map the per-device
+        batch is small (1 at tiles==devices) so every device takes the
+        fast direct path concurrently. Per-tile values are those of
+        the serial loop (same per-tile program)."""
+        if sky_only not in self._mesh_tile_fns:
+            try:
+                from jax import shard_map
+            except ImportError:      # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            sh = P(tuple(self.mesh.axis_names))
+            rep = P()
+
+            def body(params, vid, dep, hit, rd, ori, z, genc, sky,
+                     key):
+                return self._tile_fn_py(params, vid, dep, hit, rd,
+                                        ori, z, genc, sky, key,
+                                        sky_only=sky_only)
+            f = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(rep, sh, sh, sh, sh, sh, sh, sh, sh, rep),
+                out_specs=(sh, sh))
+            self._mesh_tile_fns[sky_only] = jax.jit(f)
+        return self._mesh_tile_fns[sky_only]
+
+    def _dispatch_tiles_mesh(self, coords_full, tile_in, vid, dep,
+                             hit, raydirs, cam_ori, z, sky_avg, key,
+                             sky_only):
+        """Stack tile crops, shard them over the mesh, run the
+        shard_map'd tile program (see `_mesh_tile_fn`)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+        rep = NamedSharding(self.mesh, P())
+        if self._params_rep is None:
+            self._params_rep = jax.device_put(self.params, rep)
+            self._genc_rep = self.global_enc
+        b = len(coords_full)
+
+        def stack(arr):
+            return jax.device_put(jnp.concatenate(
+                [arr[:, y0:y0 + tile_in, x0:x0 + tile_in]
+                 for (y0, x0) in coords_full], axis=0), sh)
+
+        def bcast(arr):
+            return jax.device_put(
+                jnp.broadcast_to(arr, (b,) + arr.shape[1:]), sh)
+
+        return self._mesh_tile_fn(sky_only)(
+            self._params_rep, stack(vid), stack(dep), stack(hit),
+            stack(raydirs), bcast(cam_ori), bcast(z),
+            jax.tree_util.tree_map(bcast, self.global_enc),
+            bcast(sky_avg), jax.device_put(key, rep))
 
     def _tile_hit_flags(self, coords, tile_in, hit):
         """Per-tile any-hit flags: ONE [T]-bool D2H fetch per frame
@@ -597,12 +660,8 @@ class TiledRenderer:
             # each group is padded to a device multiple, but the padded
             # duplicates are dropped ON DEVICE so the D2H fetch carries
             # only real tiles (remote-link D2H is the scarce resource).
-            from jax.sharding import NamedSharding, PartitionSpec as P
             n_dev = int(np.prod([self.mesh.shape[a]
                                  for a in self.mesh.axis_names]))
-            sh = NamedSharding(self.mesh,
-                               P(tuple(self.mesh.axis_names)))
-            rep = NamedSharding(self.mesh, P())
             groups = [(coords, False)]
             if self.sky_fast:
                 flags = self._tile_hit_flags(coords, tile_in, hit)
@@ -614,11 +673,9 @@ class TiledRenderer:
             for g_coords, g_sky in groups:
                 g_full = g_coords + [g_coords[-1]] * ((-len(g_coords))
                                                       % n_dev)
-                imgs, dexps = self._dispatch_tiles(
+                imgs, dexps = self._dispatch_tiles_mesh(
                     g_full, tile_in, vid, dep, hit, raydirs, cam_ori,
-                    z, sky_avg, key, sky_only=g_sky,
-                    place=lambda a: jax.device_put(a, sh),
-                    place_params=lambda a: jax.device_put(a, rep))
+                    z, sky_avg, key, sky_only=g_sky)
                 n_real = len(g_coords)
                 pending.append((g_coords,
                                 (imgs[:n_real], dexps[:n_real])))

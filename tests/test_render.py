@@ -93,8 +93,11 @@ def test_to_uint8_range():
 
 
 def test_mesh_tiled_matches_serial(model_world):
-    """Mesh mode (all tiles in one sharded dispatch over the 8-device
-    mesh) must reproduce the serial tile loop (VERDICT round-1 item 7)."""
+    """Mesh mode (tiles shard_map'd over the 8-device mesh, each
+    device running the serial b==1 tile program on its shard) must
+    reproduce the serial tile loop BIT-exactly — same per-tile
+    program, so no batch>1 matmul-blocking rounding can appear
+    (VERDICT round-1 item 7; shard_map dispatch r4)."""
     from scenedreamer_tpu.parallel import mesh as pm
     model, params, world = model_world
     style = jax.random.normal(jax.random.PRNGKey(6), (1, TINY.style_dims))
@@ -112,7 +115,7 @@ def test_mesh_tiled_matches_serial(model_world):
     img_s = r_serial.frame(pose, z)
     img_m = r_mesh.frame(pose, z)
     assert img_m.shape == img_s.shape
-    np.testing.assert_allclose(img_m, img_s, atol=2e-4)
+    np.testing.assert_array_equal(img_m, img_s)
     # sky-fast must engage under mesh too (r3 VERDICT weak item 5):
     # per-tile flags were computed and the hit/sky split dispatched
     assert r_mesh._last_hit_flags is not None
