@@ -190,36 +190,86 @@ class GANTrainer:
             self._dis_step_j = jax.jit(self._dis_step, donate_argnums=0)
         return self._dis_step_j(state, batch, key)
 
-    def _dis_step(self, state, batch, key):
+    def _dis_loss(self, d_params, d_stats, d_batch, g_out):
+        """D loss assembly (`gancraft.py:206-251`), shared by the GSPMD
+        and shard_map-DP paths."""
         w = self.cfg.loss_weights
-        g_out = self._gen_apply(state.g_params, batch, key)
-        g_out = jax.lax.stop_gradient(
-            {'fake_images': g_out['fake_images']})
-        d_batch, g_out = self._constrain_dis_inputs(batch, g_out)
+        d_out, new_stats = self._dis_apply(
+            d_params, d_stats, d_batch, g_out,
+            incl_real='gan' in w, incl_pseudo_real='pseudo_gan' in w,
+            update_stats=True)
+        total = 0.0
+        m = {}
+        if 'gan' in w:
+            fake_l = L.gan_loss(d_out['fake_outputs'], False, True)
+            real_l = L.gan_loss(d_out['real_outputs'], True, True)
+            m['dis/gan_fake'], m['dis/gan_real'] = fake_l, real_l
+            total += w['gan'] * (fake_l + real_l)
+        if 'pseudo_gan' in w:
+            fake_l = L.gan_loss(d_out['fake_outputs'], False, True)
+            preal_l = L.gan_loss(d_out['pseudo_real_outputs'], True,
+                                 True)
+            m['dis/pgan_fake'], m['dis/pgan_real'] = fake_l, preal_l
+            total += w['pseudo_gan'] * (fake_l + preal_l)
+        m['dis/total'] = total
+        return total, (m, new_stats)
 
-        def loss_fn(d_params):
-            d_out, new_stats = self._dis_apply(
-                d_params, state.d_stats, d_batch, g_out,
-                incl_real='gan' in w, incl_pseudo_real='pseudo_gan' in w,
-                update_stats=True)
-            total = 0.0
-            m = {}
-            if 'gan' in w:
-                fake_l = L.gan_loss(d_out['fake_outputs'], False, True)
-                real_l = L.gan_loss(d_out['real_outputs'], True, True)
-                m['dis/gan_fake'], m['dis/gan_real'] = fake_l, real_l
-                total += w['gan'] * (fake_l + real_l)
-            if 'pseudo_gan' in w:
-                fake_l = L.gan_loss(d_out['fake_outputs'], False, True)
-                preal_l = L.gan_loss(d_out['pseudo_real_outputs'], True,
-                                     True)
-                m['dis/pgan_fake'], m['dis/pgan_real'] = fake_l, preal_l
-                total += w['pseudo_gan'] * (fake_l + preal_l)
-            m['dis/total'] = total
-            return total, (m, new_stats)
+    def _mesh_dp(self):
+        """True when the 'data' axis has >1 groups — the generator's
+        batch is then evaluated per-group under shard_map (see
+        `_dp_shard_map`)."""
+        return (self.mesh is not None
+                and self.mesh.shape.get('data', 1) > 1)
 
-        (_, (metrics, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.d_params)
+    def _dp_shard_map(self, per_group, n_sharded):
+        """shard_map `per_group` with the 'data' mesh axis manual
+        (first arguments replicated, the next `n_sharded` batch-dict
+        args sharded on 'data') and 'rays' left to GSPMD.
+
+        WHY: the generator evaluates batch>1 with `lax.map` over the
+        batch (models/generator.py field_features — vmapping the hash
+        level scan measured 5x slower), and a lax.map over an axis
+        sharded on 'data' SERIALIZES the data groups: measured 24% DP
+        efficiency on a 4-group CPU mesh. Under shard_map each group
+        runs the fast per-group program concurrently and gradients
+        pmean over 'data' — the explicit form of the reference's DDP
+        allreduce (`utils/distributed.py:75-117`)."""
+        from jax.sharding import PartitionSpec as P
+        in_specs = (P(),) * 2 + (P('data'),) * n_sharded + (P(),)
+        # check_vma off: the hashgrid custom_vjp's table cotangent is
+        # group-varying until the explicit pmean, which the
+        # varying-manual-axes checker cannot see through
+        return jax.shard_map(per_group, mesh=self.mesh,
+                             axis_names={'data'},
+                             in_specs=in_specs, out_specs=P(),
+                             check_vma=False)
+
+    def _dis_step(self, state, batch, key):
+        if self._mesh_dp():
+            def per_group(d_params, ds_gp, batch, key):
+                d_stats, g_params = ds_gp
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index('data'))
+                g_out = self._gen_apply(g_params, batch, key)
+                g_out = jax.lax.stop_gradient(
+                    {'fake_images': g_out['fake_images']})
+                (_, (m, new_stats)), grads = jax.value_and_grad(
+                    self._dis_loss, has_aux=True)(
+                        d_params, d_stats, batch, g_out)
+                return jax.lax.pmean((grads, m, new_stats), 'data')
+
+            grads, metrics, new_stats = self._dp_shard_map(
+                per_group, 1)(state.d_params,
+                              (state.d_stats, state.g_params),
+                              batch, key)
+        else:
+            g_out = self._gen_apply(state.g_params, batch, key)
+            g_out = jax.lax.stop_gradient(
+                {'fake_images': g_out['fake_images']})
+            d_batch, g_out = self._constrain_dis_inputs(batch, g_out)
+            (_, (metrics, new_stats)), grads = jax.value_and_grad(
+                self._dis_loss, has_aux=True)(
+                    state.d_params, state.d_stats, d_batch, g_out)
         grads, ok, gnorm = _clip_and_validate(grads, self.cfg)
         metrics['dis/grad_norm'] = gnorm
         new_params, new_opt = _apply_update(state.d_params, state.d_opt,
@@ -235,59 +285,81 @@ class GANTrainer:
             self._gen_step_j = jax.jit(self._gen_step, donate_argnums=0)
         return self._gen_step_j(state, batch, key)
 
-    def _gen_step(self, state, batch, key):
+    def _gen_loss(self, g_params, d_params, d_stats, batch, key,
+                  constrain=True):
+        """G loss assembly (`gancraft.py:158-204`), shared by the GSPMD
+        and shard_map-DP paths."""
         w = self.cfg.loss_weights
         incl_preal = self.cfg.use_feature_matching
-
-        def loss_fn(g_params):
-            g_out = self._gen_apply(g_params, batch, key)
-            total = 0.0
-            m = {}
-            if 'gan' in w or 'pseudo_gan' in w:
+        g_out = self._gen_apply(g_params, batch, key)
+        total = 0.0
+        m = {}
+        if 'gan' in w or 'pseudo_gan' in w:
+            if constrain:
                 d_batch, g_out_c = self._constrain_dis_inputs(batch,
                                                               g_out)
-                d_out, _ = self._dis_apply(
-                    state.d_params, state.d_stats, d_batch, g_out_c,
-                    incl_real=False, incl_pseudo_real=incl_preal,
-                    update_stats=False)
-                gl = L.gan_loss(d_out['fake_outputs'], True,
-                                dis_update=False)
-                if 'gan' in w:
-                    m['gen/gan'] = gl
-                    total += w['gan'] * gl
-                if 'pseudo_gan' in w:
-                    m['gen/pgan'] = gl
-                    total += w['pseudo_gan'] * gl
-                if incl_preal:
-                    fm = L.feature_matching_loss(
-                        d_out['fake_features'],
-                        d_out['pseudo_real_features'])
-                    m['gen/feature_matching'] = fm
-                    total += w.get('feature_matching', 10.0) * fm
-            if 'kl' in w and g_out['mu'] is not None:
-                kl = L.gaussian_kl_loss(g_out['mu'], g_out['logvar'])
-                m['gen/kl'] = kl
-                total += w['kl'] * kl
-            if 'perceptual' in w and self.perceptual is not None:
-                p = self.perceptual(g_out['fake_images'],
-                                    batch['pseudo_real_img'])
-                m['gen/perceptual'] = p
-                total += w['perceptual'] * p
-            if 'l2' in w:
-                l2 = L.l2_loss(g_out['fake_images'],
-                               batch['pseudo_real_img'])
-                m['gen/l2'] = l2
-                total += w['l2'] * l2
-            if 'l1' in w:
-                l1 = L.l1_loss(g_out['fake_images'],
-                               batch['pseudo_real_img'])
-                m['gen/l1'] = l1
-                total += w['l1'] * l1
-            m['gen/total'] = total
-            return total, m
+            else:
+                d_batch, g_out_c = batch, g_out
+            d_out, _ = self._dis_apply(
+                d_params, d_stats, d_batch, g_out_c,
+                incl_real=False, incl_pseudo_real=incl_preal,
+                update_stats=False)
+            gl = L.gan_loss(d_out['fake_outputs'], True,
+                            dis_update=False)
+            if 'gan' in w:
+                m['gen/gan'] = gl
+                total += w['gan'] * gl
+            if 'pseudo_gan' in w:
+                m['gen/pgan'] = gl
+                total += w['pseudo_gan'] * gl
+            if incl_preal:
+                fm = L.feature_matching_loss(
+                    d_out['fake_features'],
+                    d_out['pseudo_real_features'])
+                m['gen/feature_matching'] = fm
+                total += w.get('feature_matching', 10.0) * fm
+        if 'kl' in w and g_out['mu'] is not None:
+            kl = L.gaussian_kl_loss(g_out['mu'], g_out['logvar'])
+            m['gen/kl'] = kl
+            total += w['kl'] * kl
+        if 'perceptual' in w and self.perceptual is not None:
+            p = self.perceptual(g_out['fake_images'],
+                                batch['pseudo_real_img'])
+            m['gen/perceptual'] = p
+            total += w['perceptual'] * p
+        if 'l2' in w:
+            l2 = L.l2_loss(g_out['fake_images'],
+                           batch['pseudo_real_img'])
+            m['gen/l2'] = l2
+            total += w['l2'] * l2
+        if 'l1' in w:
+            l1 = L.l1_loss(g_out['fake_images'],
+                           batch['pseudo_real_img'])
+            m['gen/l1'] = l1
+            total += w['l1'] * l1
+        m['gen/total'] = total
+        return total, m
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.g_params)
+    def _gen_step(self, state, batch, key):
+        if self._mesh_dp():
+            def per_group(g_params, aux, batch, key):
+                d_params, d_stats = aux
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index('data'))
+                (_, m), grads = jax.value_and_grad(
+                    self._gen_loss, has_aux=True)(
+                        g_params, d_params, d_stats, batch, key,
+                        constrain=False)
+                return jax.lax.pmean((grads, m), 'data')
+
+            grads, metrics = self._dp_shard_map(per_group, 1)(
+                state.g_params, (state.d_params, state.d_stats),
+                batch, key)
+        else:
+            (_, metrics), grads = jax.value_and_grad(
+                self._gen_loss, has_aux=True)(
+                    state.g_params, state.d_params, state.d_stats,
+                    batch, key)
         grads, ok, gnorm = _clip_and_validate(grads, self.cfg)
         metrics['gen/grad_norm'] = gnorm
         new_params, new_opt = _apply_update(state.g_params, state.g_opt,
