@@ -220,3 +220,48 @@ def test_flagship_compile_proof_no_remat():
     assert 'Involuntary full rematerialization' not in proc.stderr, \
         '\n'.join(l for l in proc.stderr.splitlines()
                   if 'rematerialization' in l)[:2000]
+
+
+def test_dp_shard_map_matches_single_device_deterministic():
+    """With deterministic depth sampling, the shard_map DP path must
+    reproduce single-device math to float rounding: each 'data' group
+    runs the SAME per-item program the single-device batch lax.map
+    runs, and the grad pmean equals the global batch mean. (The
+    random-sampling variant above matches only statistically — the
+    per-group PRNG keys fold in the group index.)"""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, coarse_deterministic_sampling=True)
+    world = make_world(size=64, seed=7, n_voronoi=20, boundary_detect=4)
+    batch = make_batch(world, batch_size=4, height=34, width=34,
+                       max_samples=4, pad=cfg.pad, seed=0)
+    gen = SceneDreamerGenerator(cfg=cfg)
+    dis = GANcraftDiscriminator(num_labels=12, num_filters=8)
+    key = jax.random.PRNGKey(0)
+
+    t1 = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig())
+    s1 = t1.init_state(key, batch)
+    s1, m1 = t1.train_step(s1, batch, jax.random.PRNGKey(1))
+
+    m = pm.make_mesh(rays=2)          # data=4: the shard_map DP path
+    t2 = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig(), mesh=m)
+    s2 = t2.init_state(key, batch)
+    assert t2._mesh_dp()
+    s2 = pm.replicate(m, s2)
+    s2, m2 = t2.train_step(s2, pm.shard_batch(m, batch),
+                           jax.random.PRNGKey(1))
+
+    for k in ('gen/total', 'dis/total', 'gen/l2', 'dis/gan_fake'):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    # grad norms agree only to ~2%: the VAE style reparameterization
+    # draw differs by design (per-group folded keys vs one batched
+    # draw) — deterministic sampling covers depth, not the style eps
+    for k in ('gen/grad_norm', 'dis/grad_norm'):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=5e-2, err_msg=k)
+    # params: Adam normalizes float-rounding grad differences into
+    # lr-scale (1e-4) step direction flips, so the bound is ~2*lr
+    mx = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(s1.g_params), jax.device_get(s2.g_params))
+    assert max(jax.tree_util.tree_leaves(mx)) < 3e-4
