@@ -254,26 +254,28 @@ def main():
             tiles = tiles[:MAX_TILES]
             _log(f'subset mode: {MAX_TILES} tiles')
         batches = [gan_batch(y, x) for (y, x) in tiles]
+        # BENCH_FUSED=1: D+G as one executable (train_step_fused)
+        step_fn = (trainer.train_step_fused
+                   if bool(int(_env('BENCH_FUSED', '0')))
+                   else trainer.train_step)
         _log('BENCH_FULL: compiling D+G train step...')
         # host-fetch a scalar, NOT block_until_ready — the latter can
         # return early over the axon tunnel (CLAUDE.md timing note)
         for i in range(WARMUP_STEPS):
-            state, m = trainer.train_step(state, batches[0],
-                                          jax.random.PRNGKey(i))
+            state, m = step_fn(state, batches[0], jax.random.PRNGKey(i))
             float(m['gen/total'])
             _log(f'warmup {i} done')
         prof_dir = os.environ.get('BENCH_PROFILE', '')
         if prof_dir:
             with jax.profiler.trace(prof_dir):
-                state, m = trainer.train_step(state, batches[0],
-                                              jax.random.PRNGKey(7))
+                state, m = step_fn(state, batches[0],
+                                   jax.random.PRNGKey(7))
                 float(m['gen/total'])
             _log(f'profile of one D+G step written to {prof_dir}')
         t0 = time.perf_counter()
         for _ in range(TIMED_REPS):
             for b in batches:
-                state, m = trainer.train_step(state, b,
-                                              jax.random.PRNGKey(9))
+                state, m = step_fn(state, b, jax.random.PRNGKey(9))
         float(m['gen/total'])
         dt = time.perf_counter() - t0
         if MAX_TILES:

@@ -109,6 +109,7 @@ class GANTrainer:
         self._iters_per_epoch = iters_per_epoch
         self._dis_step_j = None
         self._gen_step_j = None
+        self._fused_step_j = None
         # when set, discriminator inputs are constrained to batch-only
         # sharding (see `_constrain_dis_inputs`)
         self.mesh = mesh
@@ -380,6 +381,21 @@ class GANTrainer:
         state, dm = self.dis_step(state, batch, kd)
         state, gm = self.gen_step(state, batch, kg)
         return state, {**dm, **gm}
+
+    def train_step_fused(self, state, batch, key):
+        """Same iteration as ONE executable: the D and G updates (the
+        G update still sees the D params the D update just wrote)
+        compile into a single XLA program — one dispatch instead of
+        two per iteration, and the scheduler may overlap the D tail
+        with the G head. Same math as `train_step` (tested)."""
+        if self._fused_step_j is None:
+            def fused(state, batch, key):
+                kd, kg = jax.random.split(key)
+                state, dm = self._dis_step(state, batch, kd)
+                state, gm = self._gen_step(state, batch, kg)
+                return state, {**dm, **gm}
+            self._fused_step_j = jax.jit(fused, donate_argnums=0)
+        return self._fused_step_j(state, batch, key)
 
 
 # ---------------------------------------------------------------------------

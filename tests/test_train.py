@@ -243,3 +243,26 @@ def test_bf16_amp_train_step(train_batch):
         lambda a, b: float(np.abs(a - b).max()), g0,
         jax.device_get(state.g_params))
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_fused_train_step_matches_separate(train_batch):
+    """train_step_fused (one executable) must reproduce train_step's
+    two-dispatch math: same metrics and same updated params."""
+    world, batch = train_batch
+    gen = SceneDreamerGenerator(cfg=TINY)
+    dis = GANcraftDiscriminator(num_labels=NUM_LBL, num_filters=8)
+    trainer = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig())
+    key = jax.random.PRNGKey(0)
+    s1 = trainer.init_state(key, batch)
+    s2 = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, 'copy') else x, s1)
+    k = jax.random.PRNGKey(3)
+    s1, m1 = trainer.train_step(s1, batch, k)
+    s2, m2 = trainer.train_step_fused(s2, batch, k)
+    for kk in m1:
+        np.testing.assert_allclose(float(m1[kk]), float(m2[kk]),
+                                   rtol=1e-5, atol=1e-6, err_msg=kk)
+    mx = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(s1.g_params), jax.device_get(s2.g_params))
+    assert max(jax.tree_util.tree_leaves(mx)) < 1e-5
