@@ -186,6 +186,22 @@ def build():
             'semantic_field': sf_dev,
         }
 
+    # exact sky-ray compaction (r5): per-tile hit-ray counts, bucketed
+    # to 1/8-of-tile granularity so at most 8 program variants exist;
+    # rays beyond the count are pure sky = exactly-zero field terms
+    # (generator.render_pixels compact_k docstring; tested exact)
+    tile_ks = [None] * len(tiles)
+    if bool(int(_env('BENCH_COMPACT', '1'))):
+        ray_hit = np.asarray(hit[:, :, 0])
+        r_all = th * tw
+        gran = -(-r_all // 8)
+        tile_ks = []
+        for (y0, x0) in tiles:
+            cnt = int(ray_hit[y0:y0 + th, x0:x0 + tw].sum())
+            k = min(r_all, -(-cnt // gran) * gran)
+            tile_ks.append(None if k >= r_all else k)
+        _log(f'compact_k buckets: {sorted(set(tile_ks), key=str)}')
+
     key = jax.random.PRNGKey(0)
     example = tile_batch(*tiles[0])
     params = model.init({'params': key}, example, world.dims, key,
@@ -194,13 +210,15 @@ def build():
     _log('model init done')
     target = jnp.zeros((1, TILE_H, TILE_W, 3), jnp.float32)
 
-    def loss_fn(p, batch):
-        out = model.apply(p, batch, world.dims, key, random_style=True)
+    def loss_fn(p, batch, ck):
+        out = model.apply(p, batch, world.dims, key, random_style=True,
+                          compact_k=ck)
         return jnp.mean((out['fake_images'] - target) ** 2)
 
-    step = jax.jit(jax.grad(loss_fn))
+    step = jax.jit(jax.grad(loss_fn), static_argnums=2)
     build.pieces = (step, params, tile_batch, tiles)
     build.model, build.world, build.cfg = model, world, cfg
+    build.tile_ks = tile_ks
     return step, params, tile_batch, tiles
 
 
@@ -244,8 +262,10 @@ def build_full_gan_step():
 
 def main():
     step, params, tile_batch, tiles = build()
+    tile_ks = build.tile_ks
     if MAX_TILES and MAX_TILES < len(tiles):
         tiles = tiles[:MAX_TILES]
+        tile_ks = tile_ks[:MAX_TILES]
         _log(f'subset mode: {MAX_TILES} tiles')
 
     if bool(int(_env('BENCH_FULL', '0'))):
@@ -255,9 +275,15 @@ def main():
             _log(f'subset mode: {MAX_TILES} tiles')
         batches = [gan_batch(y, x) for (y, x) in tiles]
         # BENCH_FUSED=1: D+G as one executable (train_step_fused)
-        step_fn = (trainer.train_step_fused
-                   if bool(int(_env('BENCH_FUSED', '0')))
-                   else trainer.train_step)
+        # BENCH_SHARED=0: fall back to the two-forward train_step
+        # (default is the single-forward train_step_shared — one G
+        # render per iteration, vjp residuals reused; r5)
+        if bool(int(_env('BENCH_FUSED', '0'))):
+            step_fn = trainer.train_step_fused
+        elif bool(int(_env('BENCH_SHARED', '1'))):
+            step_fn = trainer.train_step_shared
+        else:
+            step_fn = trainer.train_step
         _log('BENCH_FULL: compiling D+G train step...')
         # host-fetch a scalar, NOT block_until_ready — the latter can
         # return early over the axon tunnel (CLAUDE.md timing note)
@@ -300,21 +326,23 @@ def main():
 
     _log(f'{len(batches)} tiles; compiling grad step...')
     for i in range(WARMUP_STEPS):
-        g = step(params, batches[0])
-        _sync(g)
+        # warm every compact_k program variant
+        for ck in sorted(set(tile_ks), key=str) if i == 0 else [tile_ks[0]]:
+            g = step(params, batches[0], ck)
+            _sync(g)
         _log(f'warmup {i} done')
 
     prof_dir = os.environ.get('BENCH_PROFILE', '')
     if prof_dir:
         with jax.profiler.trace(prof_dir):
-            g = step(params, batches[0])
+            g = step(params, batches[0], tile_ks[0])
             _sync(g)
         _log(f'profile of one tile written to {prof_dir}')
 
     t0 = time.perf_counter()
     for _ in range(TIMED_REPS):
-        for b in batches:
-            g = step(params, b)
+        for b, ck in zip(batches, tile_ks):
+            g = step(params, b, ck)
     _sync(g)
     dt = time.perf_counter() - t0
     _log(f'timed {TIMED_REPS} reps in {dt:.1f}s')
@@ -324,6 +352,34 @@ def main():
     else:
         rays = FRAME_H * FRAME_W * TIMED_REPS
     rays_per_s = rays / dt
+
+    # roofline anchor (r5): XLA cost analysis of the compiled tile
+    # executable -> achieved TFLOP/s and HBM GB/s vs v5e peaks
+    # (197 TFLOP/s bf16 MXU, 819 GB/s HBM), turning the relative
+    # "x over round-0" into an absolute utilization statement
+    roof = {}
+    try:
+        ca = step.lower(params, batches[0],
+                        tile_ks[0]).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        tile_s = dt / (TIMED_REPS * len(batches))
+        fl = float(ca.get('flops', 0.0))
+        by = float(ca.get('bytes accessed', 0.0))
+        roof = {
+            'flops_per_tile': fl,
+            'bytes_per_tile': by,
+            'achieved_tflops_per_s': round(fl / tile_s / 1e12, 3),
+            'achieved_hbm_gb_per_s': round(by / tile_s / 1e9, 1),
+        }
+        _log(f'roofline: {fl/1e9:.1f} GFLOP + {by/1e9:.2f} GB / tile '
+             f'in {tile_s*1e3:.0f} ms -> '
+             f"{roof['achieved_tflops_per_s']} TFLOP/s "
+             f'({roof["achieved_tflops_per_s"]/197*100:.1f}% of bf16 peak), '
+             f"{roof['achieved_hbm_gb_per_s']} GB/s "
+             f'({roof["achieved_hbm_gb_per_s"]/819*100:.1f}% of HBM peak)')
+    except Exception as e:          # cost_analysis is best-effort
+        _log(f'cost analysis unavailable: {e!r}')
 
     baseline = None
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -336,13 +392,49 @@ def main():
             baseline = None
     vs = rays_per_s / baseline if baseline else 1.0
 
+    extra = dict(roof)
+    if bool(int(_env('BENCH_GOLDEN', '0'))):
+        extra.update(_golden_check())
+
     print(json.dumps({
         'metric': f'rays_per_s_fwd_bwd_{FRAME_H}x{FRAME_W}'
                   f'x{NUM_SAMPLES}{"_bf16amp" if AMP else ""}',
         'value': round(rays_per_s, 1),
         'unit': 'rays/s/chip',
         'vs_baseline': round(vs, 3),
+        **extra,
     }))
+
+
+def _golden_check():
+    """BENCH_GOLDEN=1: render the committed golden-frame config on
+    THIS backend (the TPU when run over the tunnel) and diff against
+    the CPU-generated fixtures — a backend-drift catcher; the CPU
+    goldens in CI only pin logic (VERDICT r4 next-step 7). Returns
+    JSON fields with the max abs image diff across all paths/poses."""
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'tests'))
+    import numpy as _np
+    import test_golden as tg
+    _log('BENCH_GOLDEN: rendering golden frames on this backend...')
+    got = tg._render_all()
+    ref = dict(_np.load(tg.FIXTURE))
+    worst = 0.0
+    for k, v in ref.items():
+        if k.endswith('_depth'):
+            continue
+        d = float(_np.abs(got[k] - v).max())
+        _log(f'golden {k}: max|diff| {d:.2e}')
+        worst = max(worst, d)
+    # tolerance: TPU convs/matmuls at default precision differ from
+    # CPU at ~1e-2 scale on [-1,1] images; a real logic change shows
+    # as O(0.1-1) structure
+    ok = worst < 5e-2
+    _log(f'BENCH_GOLDEN: max abs diff {worst:.3e} '
+         f"({'PASS' if ok else 'FAIL'} at 5e-2)")
+    return {'golden_max_abs_diff': round(worst, 6),
+            'golden_pass': bool(ok)}
 
 
 if __name__ == '__main__':

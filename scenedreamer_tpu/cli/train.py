@@ -305,6 +305,15 @@ def main(argv=None):
     p.add_argument('--max-iter', type=int, default=None)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--two-forward', dest='shared_fwd',
+                   action='store_false', default=True,
+                   help='render the generator twice per iteration '
+                        '(separate D/G forwards, the reference torch '
+                        'shape); default is the r5 single-forward step '
+                        '(train_step_shared: one render, vjp residuals '
+                        'reused across the D and G updates — tested '
+                        'equal to the two-forward alternation). Env '
+                        'override: SCENEDREAMER_SHARED_FWD=0')
     p.add_argument('--mesh-rays', type=int, default=1,
                    help='size of the rays (image-row) mesh axis; '
                         'data axis = devices // rays')
@@ -409,6 +418,11 @@ def main(argv=None):
 
     state = None
     it = 0
+    shared = a.shared_fwd and bool(int(os.environ.get(
+        'SCENEDREAMER_SHARED_FWD', '1')))
+    step_fn = trainer.train_step_shared if shared else trainer.train_step
+    print(f"[train] iteration step: "
+          f"{'single-forward (shared vjp)' if shared else 'two-forward'}")
     steps_run = 0   # iterations executed in THIS process (`it` jumps on
                     # resume, which would skip the profile window)
     pending_metrics = []
@@ -508,7 +522,7 @@ def main(argv=None):
                                 d_opt=trainer.d_tx.init(state.d_params))
                             print('[train] reset opt_D state')
             with _ph('train_step') as box:
-                state, metrics = trainer.train_step(state, batch, k_step)
+                state, metrics = step_fn(state, batch, k_step)
                 box['out'] = metrics
             if trace_on['flag'] and steps_run == profile_window[1]:
                 host_sync(metrics)

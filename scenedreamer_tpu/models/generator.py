@@ -211,7 +211,7 @@ class SceneDreamerGenerator(nn.Module):
                       cam_ori, z, global_enc, voxel_dims,
                       num_samples=None, sample_depth_clip=None,
                       deterministic=None, sky_avg=None, field_extra=None,
-                      sky_only=False):
+                      sky_only=False, compact_k=None):
         """Full per-pixel rendering pass (`scenedreamer.py:313-430`).
 
         `sky_only=True` (static) skips the hash-field + RenderMLP and
@@ -221,6 +221,18 @@ class SceneDreamerGenerator(nn.Module):
         weights before masking, so every field term it skips is
         multiplied by 0.0 in the full path too (tested). The tiled
         renderer uses it to fast-path pure-sky tiles.
+
+        `compact_k` (static int, r5): evaluate the hash-field + MLP on
+        only the first `compact_k` rays after a stable hits-first sort
+        — exact sky-ray compaction (reference sky masks:
+        `scenedreamer.py:313-430`). Pure-sky rays have zero sample
+        dists, hence exactly-zero volume weights AND exactly-zero
+        field gradients, so dropping them is exact per ray (forward
+        bit-exact; param grads equal up to matmul reduction order —
+        tested) PROVIDED compact_k >= the number of rays with any hit.
+        Callers fetch the per-tile hit count and bucket it (the
+        split-refine renderer and bench.py do); compact_k >= h*w or
+        None disables.
 
         Args:
             key: PRNG key for stratified sampling (+ sigma noise).
@@ -286,6 +298,46 @@ class SceneDreamerGenerator(nn.Module):
             # matches the full path bit-for-bit (AMP included)
             sigma = jnp.zeros((b, h, w, s, 1), c.dtype)
             feat_c = jnp.zeros((b, h, w, s, c.final_feat_dim), c.dtype)
+        elif compact_k is not None and compact_k < h * w:
+            r_all = h * w
+            ray_hit = hit_mask[..., 0].reshape(b, r_all)
+            # stable sort: hitting rays first, original order preserved
+            order = jnp.argsort(jnp.logical_not(ray_hit), axis=1,
+                                stable=True)
+            sel = order[:, :compact_k]
+
+            def take_rays(x):                     # [b, r_all, ...]
+                idx = sel.reshape((b, compact_k) + (1,) * (x.ndim - 2))
+                return jnp.take_along_axis(
+                    x, jnp.broadcast_to(idx,
+                                        (b, compact_k) + x.shape[2:]),
+                    axis=1)
+
+            wc_c = take_rays(worldcoord.reshape(b, r_all, s, 3))
+            mc_c = jax.nn.one_hot(
+                take_rays(mc_masks.reshape(b, r_all, s)),
+                c.num_reduced_labels, dtype=jnp.float32)
+            rd_c = None
+            if raydirs_in is not None:
+                rd_c = take_rays(raydirs_in.reshape(
+                    b, r_all, 1, raydirs_in.shape[-1]))
+            sigma_c, feat_cc = self.field_features(
+                wc_c, voxel_dims, global_enc, rd_c, z, mc_c,
+                **(field_extra or {}))
+            inv = jnp.argsort(order, axis=1)
+
+            def scatter_rays(x):                  # [b, K, s, C] -> full
+                pad = jnp.zeros((b, r_all - compact_k) + x.shape[2:],
+                                x.dtype)
+                full = jnp.concatenate([x, pad], axis=1)
+                idx = inv.reshape(b, r_all, 1, 1)
+                return jnp.take_along_axis(
+                    full, jnp.broadcast_to(idx, (b, r_all) + x.shape[2:]),
+                    axis=1)
+
+            sigma = scatter_rays(sigma_c).reshape(b, h, w, s, 1)
+            feat_c = scatter_rays(feat_cc).reshape(
+                b, h, w, s, feat_cc.shape[-1])
         else:
             sigma, feat_c = self.field_features(worldcoord, voxel_dims,
                                                 global_enc, raydirs_in,
@@ -373,7 +425,7 @@ class SceneDreamerGenerator(nn.Module):
     # ------------------------------------------------------------------
 
     def __call__(self, data, voxel_dims, key, random_style=False,
-                 pad=None, field_extra=None):
+                 pad=None, field_extra=None, compact_k=None):
         """data dict (all NHWC):
             voxel_id [B,H,W,M] int32; depth [B,H,W,M,2]; hit_mask [B,H,W,M];
             raydirs [B,H,W,3]; cam_ori [B,3];
@@ -402,7 +454,7 @@ class SceneDreamerGenerator(nn.Module):
         out = self.render_pixels(
             k_render, data['voxel_id'], data['depth'], data['hit_mask'],
             data['raydirs'], data['cam_ori'], z, global_enc, voxel_dims,
-            field_extra=field_extra)
+            field_extra=field_extra, compact_k=compact_k)
         fake, fake_raw = self.refine(out['net_out'], z)
         if pad:
             fake = fake[:, pad // 2:-(pad // 2), pad // 2:-(pad // 2), :]

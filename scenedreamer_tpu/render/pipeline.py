@@ -330,9 +330,11 @@ class TiledRenderer:
         from jax.sharding import NamedSharding, PartitionSpec as P
         sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
         rep = NamedSharding(self.mesh, P())
-        if self._params_rep is None:
-            self._params_rep = jax.device_put(self.params, rep)
-            self._genc_rep = self.global_enc
+        # keyed on identity of self.params so a live params swap
+        # invalidates the replicated copy (ADVICE r4)
+        if self._params_rep is None or self._params_rep[0] is not self.params:
+            self._params_rep = (self.params,
+                                jax.device_put(self.params, rep))
         b = len(coords_full)
 
         def stack(arr):
@@ -345,7 +347,7 @@ class TiledRenderer:
                 jnp.broadcast_to(arr, (b,) + arr.shape[1:]), sh)
 
         return self._mesh_tile_fn(sky_only)(
-            self._params_rep, stack(vid), stack(dep), stack(hit),
+            self._params_rep[1], stack(vid), stack(dep), stack(hit),
             stack(raydirs), bcast(cam_ori), bcast(z),
             jax.tree_util.tree_map(bcast, self.global_enc),
             bcast(sky_avg), jax.device_put(key, rep))
@@ -353,15 +355,18 @@ class TiledRenderer:
     def _tile_hit_flags(self, coords, tile_in, hit):
         """Per-tile any-hit flags: ONE [T]-bool D2H fetch per frame
         routes pure-sky tiles to the field-skipping executable."""
-        if self._hit_flags_fn is None:
+        # the jitted closure bakes in the tile grid — key the cache on
+        # (coords, tile_in) so a changed grid retraces (ADVICE r4)
+        cache_key = (tuple(coords), tile_in)
+        if self._hit_flags_fn is None or self._hit_flags_fn[0] != cache_key:
             cs = list(coords)
 
             def hit_flags(hm):
                 return jnp.stack(
                     [jnp.any(hm[0, y0:y0 + tile_in, x0:x0 + tile_in])
                      for (y0, x0) in cs])
-            self._hit_flags_fn = jax.jit(hit_flags)
-        flags = np.asarray(self._hit_flags_fn(hit))
+            self._hit_flags_fn = (cache_key, jax.jit(hit_flags))
+        flags = np.asarray(self._hit_flags_fn[1](hit))
         self._last_hit_flags = flags
         return flags
 

@@ -110,6 +110,7 @@ class GANTrainer:
         self._dis_step_j = None
         self._gen_step_j = None
         self._fused_step_j = None
+        self._shared_step_j = None
         # when set, discriminator inputs are constrained to batch-only
         # sharding (see `_constrain_dis_inputs`)
         self.mesh = mesh
@@ -215,12 +216,21 @@ class GANTrainer:
         m['dis/total'] = total
         return total, (m, new_stats)
 
-    def _mesh_dp(self):
+    def _mesh_dp(self, batch=None):
         """True when the 'data' axis has >1 groups — the generator's
         batch is then evaluated per-group under shard_map (see
-        `_dp_shard_map`)."""
-        return (self.mesh is not None
-                and self.mesh.shape.get('data', 1) > 1)
+        `_dp_shard_map`). When `batch` is given, additionally require
+        the leading batch dim to divide the axis: shard_map rejects
+        non-divisible axes at trace time, while the GSPMD fallback
+        simply replicates (ADVICE r4 medium — batch 1 on a data=8 mesh
+        must not crash)."""
+        if self.mesh is None or self.mesh.shape.get('data', 1) <= 1:
+            return False
+        if batch is not None:
+            b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if b % self.mesh.shape['data'] != 0:
+                return False
+        return True
 
     def _dp_shard_map(self, per_group, n_sharded):
         """shard_map `per_group` with the 'data' mesh axis manual
@@ -246,7 +256,7 @@ class GANTrainer:
                              check_vma=False)
 
     def _dis_step(self, state, batch, key):
-        if self._mesh_dp():
+        if self._mesh_dp(batch):
             def per_group(d_params, ds_gp, batch, key):
                 d_stats, g_params = ds_gp
                 key = jax.random.fold_in(
@@ -290,9 +300,16 @@ class GANTrainer:
                   constrain=True):
         """G loss assembly (`gancraft.py:158-204`), shared by the GSPMD
         and shard_map-DP paths."""
+        g_out = self._gen_apply(g_params, batch, key)
+        return self._gen_loss_from_out(g_out, d_params, d_stats, batch,
+                                       constrain=constrain)
+
+    def _gen_loss_from_out(self, g_out, d_params, d_stats, batch,
+                           constrain=True):
+        """G loss given precomputed generator outputs — the tail shared
+        by `_gen_loss` and the single-forward `train_step_shared`."""
         w = self.cfg.loss_weights
         incl_preal = self.cfg.use_feature_matching
-        g_out = self._gen_apply(g_params, batch, key)
         total = 0.0
         m = {}
         if 'gan' in w or 'pseudo_gan' in w:
@@ -342,7 +359,7 @@ class GANTrainer:
         return total, m
 
     def _gen_step(self, state, batch, key):
-        if self._mesh_dp():
+        if self._mesh_dp(batch):
             def per_group(g_params, aux, batch, key):
                 d_params, d_stats = aux
                 key = jax.random.fold_in(
@@ -381,6 +398,106 @@ class GANTrainer:
         state, dm = self.dis_step(state, batch, kd)
         state, gm = self.gen_step(state, batch, kg)
         return state, {**dm, **gm}
+
+    # ------------------------------------------------------------------
+    # Single-forward iteration (r5): render the generator ONCE per
+    # iteration and reuse the saved vjp residuals for the G backward.
+    # ------------------------------------------------------------------
+    def _shared_fwd_outs(self, g_params, batch, key):
+        """Generator forward returning only the outputs that receive
+        loss cotangents (fake image + style-VAE moments)."""
+        g_out = self._gen_apply(g_params, batch, key)
+        return {'fake_images': g_out['fake_images'],
+                'mu': g_out['mu'], 'logvar': g_out['logvar']}
+
+    def _shared_core(self, g_params, d_params, d_stats, d_opt, batch,
+                     key, dp):
+        """One D update + G gradients from a single generator forward.
+
+        `fake, g_vjp = jax.vjp(render, g_params)` → D update on
+        `stop_gradient(fake)` → G loss through the *updated* D →
+        `g_vjp(cotangents)`. Exact GAN alternation semantics
+        (`imaginaire/trainers/base.py:676-816` — the reference renders
+        twice only because torch autograd separates the D/G graphs; in
+        JAX the residuals can be shared). Returns
+        (new_d_params, new_d_opt, new_stats, g_grads, metrics), with
+        grads/metrics already pmean'd over 'data' when `dp`."""
+        outs, g_vjp = jax.vjp(
+            lambda gp: self._shared_fwd_outs(gp, batch, key), g_params)
+        g_sg = {'fake_images': jax.lax.stop_gradient(outs['fake_images'])}
+        if dp:
+            d_batch = batch
+        else:
+            d_batch, g_sg = self._constrain_dis_inputs(batch, g_sg)
+        (_, (dm, new_stats)), d_grads = jax.value_and_grad(
+            self._dis_loss, has_aux=True)(
+                d_params, d_stats, d_batch, g_sg)
+        if dp:
+            d_grads, dm, new_stats = jax.lax.pmean(
+                (d_grads, dm, new_stats), 'data')
+        d_grads, d_ok, d_gnorm = _clip_and_validate(d_grads, self.cfg)
+        dm['dis/grad_norm'] = d_gnorm
+        new_d_params, new_d_opt = _apply_update(
+            d_params, d_opt, d_grads, self.d_tx, d_ok)
+
+        def g_tail(outs):
+            return self._gen_loss_from_out(
+                outs, new_d_params, new_stats, batch, constrain=not dp)
+
+        (_, gm), outs_cot = jax.value_and_grad(
+            g_tail, has_aux=True)(outs)
+        (g_grads,) = g_vjp(outs_cot)
+        if dp:
+            g_grads, gm = jax.lax.pmean((g_grads, gm), 'data')
+        return new_d_params, new_d_opt, new_stats, g_grads, {**dm, **gm}
+
+    def _shared_step(self, state, batch, key):
+        if self._mesh_dp(batch):
+            def per_group(g_params, aux, batch, key):
+                d_params, d_stats, d_opt = aux
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index('data'))
+                return self._shared_core(
+                    g_params, d_params, d_stats, d_opt, batch, key,
+                    dp=True)
+
+            new_d_params, new_d_opt, new_stats, g_grads, metrics = \
+                self._dp_shard_map(per_group, 1)(
+                    state.g_params,
+                    (state.d_params, state.d_stats, state.d_opt),
+                    batch, key)
+        else:
+            new_d_params, new_d_opt, new_stats, g_grads, metrics = \
+                self._shared_core(
+                    state.g_params, state.d_params, state.d_stats,
+                    state.d_opt, batch, key, dp=False)
+        g_grads, ok, gnorm = _clip_and_validate(g_grads, self.cfg)
+        metrics['gen/grad_norm'] = gnorm
+        new_g_params, new_g_opt = _apply_update(
+            state.g_params, state.g_opt, g_grads, self.g_tx, ok)
+        ema = state.g_ema
+        if ema is not None:
+            b = self.cfg.ema_beta
+            ema = jax.tree_util.tree_map(
+                lambda e, p: b * e + (1.0 - b) * p, ema, new_g_params)
+        return state.replace(
+            step=state.step + 1,
+            g_params=new_g_params, g_opt=new_g_opt, g_ema=ema,
+            d_params=new_d_params, d_opt=new_d_opt,
+            d_stats=new_stats), metrics
+
+    def train_step_shared(self, state, batch, key):
+        """One full iteration with a SINGLE generator forward (one XLA
+        executable). Equivalent to calling `dis_step` then `gen_step`
+        with the SAME render key (so both see the same fake) — tested
+        equal to that two-forward reference in
+        tests/test_train.py::test_shared_train_step_matches_two_forward.
+        Eliminates the D-step's no-grad G forward (~20% of the full
+        D+G step at flagship scale, r3 device profile)."""
+        if self._shared_step_j is None:
+            self._shared_step_j = jax.jit(self._shared_step,
+                                          donate_argnums=0)
+        return self._shared_step_j(state, batch, key)
 
     def train_step_fused(self, state, batch, key):
         """Same iteration as ONE executable: the D and G updates (the

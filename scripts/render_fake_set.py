@@ -85,9 +85,15 @@ def main(argv=None):
         crop_size=(a.crop, a.crop), pad=gcfg.pad,
         num_blocks_early_stop=gcfg.num_blocks_early_stop))
 
+    # voxel dims are baked into the traced program: pin them to the
+    # first world's and assert every resampled world matches (the
+    # WorldCache slab invariant — ADVICE r4: fail loudly on a
+    # mixed-dims cache instead of rendering with stale dims)
+    traced_dims = tuple(int(d) for d in world.dims)
+
     @jax.jit
     def gen_fake(params, batch, key):
-        out = model.apply(params, batch, world.dims, key,
+        out = model.apply(params, batch, traced_dims, key,
                           random_style=True)
         return out['fake_images']
 
@@ -95,6 +101,8 @@ def main(argv=None):
     n = 0
     while n < a.num_images:
         world = cache.sample_world(rng=T._RandomAdapter(rng))
+        assert tuple(int(d) for d in world.dims) == traced_dims, \
+            f'world dims {world.dims} != traced {traced_dims}'
         rays = sampler.sample(world, 1, rng)
         batch = dict(rays)
         batch['height_field'] = jnp.asarray(

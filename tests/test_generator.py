@@ -118,3 +118,53 @@ def test_generator_forward_paired_hash(tiny_batch):
     gt = g['params']['hash_table']
     assert float(jnp.abs(gt).sum()) > 0
     assert np.isfinite(np.asarray(gt)).all()
+
+
+def test_compact_k_exactness(tiny_batch):
+    """Exact sky-ray compaction (r5): evaluating the field on only the
+    hits-first-sorted first K rays must reproduce the full path — the
+    forward bit-exactly (dropped rays have exactly-zero weights) and
+    the param grads to reduction-order rounding."""
+    world, data = tiny_batch
+    # force a sky block so compaction has something to drop
+    hm = np.asarray(data['hit_mask']).copy()
+    hm[:, :8, :, :] = False
+    data = dict(data)
+    data['hit_mask'] = jnp.asarray(hm)
+
+    model = SceneDreamerGenerator(cfg=TINY)
+    key = jax.random.PRNGKey(0)
+    params = model.init({'params': key}, data, world.dims, key,
+                        random_style=True)
+
+    ray_hit = hm[..., 0]
+    n_hit = int(ray_hit.reshape(ray_hit.shape[0], -1).sum(1).max())
+    r_all = ray_hit.shape[1] * ray_hit.shape[2]
+    k = n_hit + 4
+    assert k < r_all, 'fixture must leave sky rays to drop'
+
+    def fwd(p, ck):
+        return model.apply(p, data, world.dims, key, random_style=True,
+                           compact_k=ck)
+
+    full = fwd(params, None)
+    comp = fwd(params, k)
+    np.testing.assert_array_equal(
+        np.asarray(full['render']['weights']),
+        np.asarray(comp['render']['weights']))
+    np.testing.assert_array_equal(
+        np.asarray(full['render']['net_out']),
+        np.asarray(comp['render']['net_out']))
+    np.testing.assert_allclose(np.asarray(full['fake_images']),
+                               np.asarray(comp['fake_images']),
+                               atol=1e-7)
+
+    def loss(p, ck):
+        return jnp.mean(fwd(p, ck)['fake_images'] ** 2)
+
+    g_full = jax.grad(loss)(params, None)
+    g_comp = jax.grad(loss)(params, k)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7),
+        g_full, g_comp)

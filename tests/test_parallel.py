@@ -265,3 +265,54 @@ def test_dp_shard_map_matches_single_device_deterministic():
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         jax.device_get(s1.g_params), jax.device_get(s2.g_params))
     assert max(jax.tree_util.tree_leaves(mx)) < 3e-4
+
+
+def test_dp_shared_step_matches_two_forward(world_and_batch):
+    """The shard_map DP variant of train_step_shared must reproduce the
+    two-forward DP alternation when both forwards use the same render
+    key: per-group folded keys are identical in both paths, so the fake
+    is identical and the updates must match to float rounding."""
+    world, batch = world_and_batch
+    gen = SceneDreamerGenerator(cfg=TINY)
+    dis = GANcraftDiscriminator(num_labels=12, num_filters=8)
+    m = pm.make_mesh(rays=2)          # data=4
+    t = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig(), mesh=m)
+    key = jax.random.PRNGKey(0)
+    s0 = pm.replicate(m, t.init_state(key, batch))
+    s1 = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, 'copy') else x, s0)
+    sharded = pm.shard_batch(m, batch)
+    k = jax.random.PRNGKey(3)
+    s0, dm = t.dis_step(s0, sharded, k)
+    s0, gm = t.gen_step(s0, sharded, k)
+    m1 = {**dm, **gm}
+    s1, m2 = t.train_step_shared(s1, sharded, k)
+    for kk in ('dis/total', 'gen/total', 'gen/gan', 'dis/grad_norm',
+               'gen/grad_norm'):
+        np.testing.assert_allclose(float(m1[kk]), float(m2[kk]),
+                                   rtol=1e-4, atol=1e-6, err_msg=kk)
+    for name in ('g_params', 'd_params'):
+        mx = jax.tree_util.tree_map(
+            lambda a, b: float(
+                np.abs(np.asarray(a) - np.asarray(b)).max()),
+            jax.device_get(getattr(s0, name)),
+            jax.device_get(getattr(s1, name)))
+        assert max(jax.tree_util.tree_leaves(mx)) < 1e-4, name
+
+
+def test_dp_falls_back_on_non_divisible_batch(world_and_batch):
+    """ADVICE r4 (medium): a batch whose leading dim does not divide
+    the 'data' axis must take the GSPMD fallback (which replicates),
+    not crash shard_map at trace time."""
+    world, _ = world_and_batch
+    batch = make_batch(world, batch_size=2, height=34, width=34,
+                       max_samples=4, pad=TINY.pad, seed=0)
+    gen = SceneDreamerGenerator(cfg=TINY)
+    dis = GANcraftDiscriminator(num_labels=12, num_filters=8)
+    m = pm.make_mesh(rays=2)          # data=4; batch 2 not divisible
+    t = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig(), mesh=m)
+    assert t._mesh_dp() and not t._mesh_dp(batch)
+    s = pm.replicate(m, t.init_state(jax.random.PRNGKey(0), batch))
+    s, metrics = t.train_step(s, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics['gen/total']))
+    assert np.isfinite(float(metrics['dis/total']))

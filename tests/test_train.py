@@ -245,6 +245,40 @@ def test_bf16_amp_train_step(train_batch):
     assert max(jax.tree_util.tree_leaves(moved)) > 0
 
 
+def test_shared_train_step_matches_two_forward(train_batch):
+    """train_step_shared (single G forward, vjp residuals reused across
+    the D and G updates) must reproduce the two-forward alternation
+    when the two forwards use the SAME render key: identical fake →
+    same D update → same G grads through the updated D."""
+    world, batch = train_batch
+    gen = SceneDreamerGenerator(cfg=TINY)
+    dis = GANcraftDiscriminator(num_labels=NUM_LBL, num_filters=8)
+    perc = L.PerceptualLoss(layers=('relu_2_1',), weights=(1.0,))
+    trainer = GANTrainer(gen, dis, world.dims,
+                         cfg=TrainerConfig(ema_beta=0.9),
+                         perceptual=perc, iters_per_epoch=10)
+    key = jax.random.PRNGKey(0)
+    s1 = trainer.init_state(key, batch)
+    s2 = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, 'copy') else x, s1)
+    k = jax.random.PRNGKey(3)
+    # reference: two forwards, same key for both (same fake sample)
+    s1, dm = trainer.dis_step(s1, batch, k)
+    s1, gm = trainer.gen_step(s1, batch, k)
+    m1 = {**dm, **gm}
+    s2, m2 = trainer.train_step_shared(s2, batch, k)
+    assert int(s2.step) == 1
+    for kk in m1:
+        np.testing.assert_allclose(float(m1[kk]), float(m2[kk]),
+                                   rtol=1e-5, atol=1e-6, err_msg=kk)
+    for name in ('g_params', 'd_params', 'g_ema'):
+        mx = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            jax.device_get(getattr(s1, name)),
+            jax.device_get(getattr(s2, name)))
+        assert max(jax.tree_util.tree_leaves(mx)) < 1e-5, name
+
+
 def test_fused_train_step_matches_separate(train_batch):
     """train_step_fused (one executable) must reproduce train_step's
     two-dispatch math: same metrics and same updated params."""
