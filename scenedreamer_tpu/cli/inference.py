@@ -28,6 +28,17 @@ def load_generator_params(checkpoint, model, world, cfg, key):
     if not checkpoint:
         print('[inference] no checkpoint given - using random init')
         return params
+    if checkpoint.endswith(('.pt', '.pth')):
+        # reference released checkpoint (scenedreamer_released.pt):
+        # torch state dict -> flax params via the layout-tested
+        # converter (utils/convert.py; the BASELINE parity-gate hook —
+        # docs/PARITY.md "Environmentally-blocked gate")
+        from scenedreamer_tpu.utils.convert import (
+            convert_scenedreamer_generator, load_torch_checkpoint)
+        ckpt = load_torch_checkpoint(checkpoint)
+        sd = ckpt.get('net_G', ckpt) if isinstance(ckpt, dict) else ckpt
+        print(f'[inference] converting torch checkpoint {checkpoint}')
+        return convert_scenedreamer_generator(sd)
     import orbax.checkpoint as ocp
     from scenedreamer_tpu.train.trainer import latest_checkpoint
     path = checkpoint

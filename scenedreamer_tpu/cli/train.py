@@ -556,8 +556,11 @@ def main(argv=None):
                     # XLA compile; later ones are steady-state
                     timer.reset()
                 t0 = time.time()
-            if it % snapshot_save_iter == 0 \
-                    and jax.process_index() == 0:
+            if it % snapshot_save_iter == 0:
+                # ALL processes call: orbax checkpoint saves are
+                # collective in multi-process mode (coordinated
+                # barriers; primary writes) — master-only gating
+                # deadlocks (tests/_multihost_worker.py exercises it)
                 save_checkpoint(ckpt_dir, state)
             if it % image_save_iter == 0 and jax.process_index() == 0:
                 _save_snapshot_images(writer, trainer, state, batch,
@@ -566,7 +569,7 @@ def main(argv=None):
                 print('[train] termination requested - checkpointing')
                 _stop_trace()
                 _flush_pending()
-                if jax.process_index() == 0 and state is not None:
+                if state is not None:
                     save_checkpoint(ckpt_dir, state)
                 writer.close()
                 return
@@ -575,14 +578,15 @@ def main(argv=None):
         if a.max_iter and it >= a.max_iter:
             break
         if (epoch + 1) % snapshot_save_epoch == 0 \
-                and jax.process_index() == 0 and state is not None:
+                and state is not None:
             save_checkpoint(ckpt_dir, state)
     _stop_trace()
     _flush_pending()
-    if jax.process_index() == 0 and state is not None:
+    if state is not None:
         save_checkpoint(ckpt_dir, state)
-        print(f'[train] done at iteration {it}; checkpoints in '
-              f'{ckpt_dir}')
+        if jax.process_index() == 0:
+            print(f'[train] done at iteration {it}; checkpoints in '
+                  f'{ckpt_dir}')
     writer.close()
 
 

@@ -61,10 +61,28 @@ def make_mesh(data: Optional[int] = None, rays: int = 1, devices=None):
 
 
 def init_distributed():
-    """Multi-host init (reference `init_dist`,
-    `utils/distributed.py:12-18`). No-op when running single-process."""
-    if os.environ.get('JAX_COORDINATOR_ADDRESS'):
-        jax.distributed.initialize()
+    """Multi-host init (reference `init_dist` env:// rendezvous,
+    `utils/distributed.py:12-18`). No-op when running single-process.
+
+    Manual rendezvous via env vars (the torch.distributed.launch
+    analog): JAX_COORDINATOR_ADDRESS + JAX_NUM_PROCESSES +
+    JAX_PROCESS_ID (+ optional JAX_LOCAL_DEVICE_IDS, comma-separated).
+    With only JAX_COORDINATOR_ADDRESS set, defers to jax's cluster
+    auto-detection. Exercised by the 2-process CPU test
+    (tests/test_multihost.py)."""
+    addr = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    if addr:
+        kw = {}
+        if os.environ.get('JAX_NUM_PROCESSES'):
+            kw = dict(
+                coordinator_address=addr,
+                num_processes=int(os.environ['JAX_NUM_PROCESSES']),
+                process_id=int(os.environ['JAX_PROCESS_ID']))
+            ids = os.environ.get('JAX_LOCAL_DEVICE_IDS')
+            if ids:
+                kw['local_device_ids'] = [int(x)
+                                          for x in ids.split(',')]
+        jax.distributed.initialize(**kw)
     return jax.process_index(), jax.process_count()
 
 
@@ -104,10 +122,24 @@ def replicate(mesh, tree):
 def global_batch_from_local(mesh, local_batch, shard_rays=False):
     """Multi-host: assemble a global jax.Array batch from each process's
     host-local shard (replaces DistributedSampler,
-    `utils/dataset.py:53`)."""
+    `utils/dataset.py:53`). The global batch axis is the concatenation
+    of the per-process local batches, so the PartitionSpec must be
+    computed against the GLOBAL shape (local * process_count) — with
+    the local shape, a per-process batch smaller than the 'data' axis
+    silently fell back to replication and dropped the other processes'
+    items (r5 multihost-test find)."""
+    pc = jax.process_count()
     out = {}
     for k, v in local_batch.items():
-        spec = batch_spec(k, np.shape(v), mesh, shard_rays)
+        gshape = list(np.shape(v))
+        if gshape:
+            gshape[0] *= pc
+        spec = batch_spec(k, tuple(gshape), mesh, shard_rays)
+        if pc > 1 and spec and spec[0] is None:
+            raise ValueError(
+                f'global batch dim {gshape[0]} of {k!r} must divide '
+                f"the 'data' axis ({mesh.shape['data']}) in "
+                'multi-process mode')
         out[k] = jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), np.asarray(v))
     return out

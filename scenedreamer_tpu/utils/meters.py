@@ -55,7 +55,9 @@ def _cross_process_mean(names, means):
             'flushed through a separate writer)')
     with np.errstate(invalid='ignore'):
         red = np.nanmean(all_vecs[:, 1:], axis=0)
-    return {n: red[i] for i, n in enumerate(names)
+    # plain python floats: numpy scalars break json.dumps in the
+    # jsonl sink (r5 multihost-test find)
+    return {n: float(red[i]) for i, n in enumerate(names)
             if red[i] == red[i]}
 
 
