@@ -293,24 +293,46 @@ class SceneDreamerGenerator(nn.Module):
             raydirs_in = raydirs[:, :, :, None, :]
 
         # ---- differentiable field + sky --------------------------------
-        if sky_only:
-            # zeros in the model compute dtype so downstream promotion
-            # matches the full path bit-for-bit (AMP included)
-            sigma = jnp.zeros((b, h, w, s, 1), c.dtype)
-            feat_c = jnp.zeros((b, h, w, s, c.final_feat_dim), c.dtype)
-        elif compact_k is not None and compact_k < h * w:
-            r_all = h * w
+        # sky masks: last-slot empty = ray ends in sky; first-slot empty =
+        # pure sky ray (reference scenedreamer.py:334-337)
+        sky_mask = ~hit_mask[..., -1:]                        # [B,H,W,1]
+        sky_only_mask = ~hit_mask[..., :1]
+        r_all = h * w
+        compact = (not sky_only and compact_k is not None
+                   and compact_k < r_all)
+
+        def _clip_feat(x):
+            """Per-sample feature term of the compositing sum (clip
+            mode semantics, reference scenedreamer.py:373-427)."""
+            if c.clip_feat_map is True:
+                return jnp.clip(x, -1, 1) + 1
+            if c.clip_feat_map == 'tanh':
+                return jnp.tanh(x)
+            return x
+
+        if compact:
             ray_hit = hit_mask[..., 0].reshape(b, r_all)
             # stable sort: hitting rays first, original order preserved
             order = jnp.argsort(jnp.logical_not(ray_hit), axis=1,
                                 stable=True)
             sel = order[:, :compact_k]
+            inv = jnp.argsort(order, axis=1)
 
             def take_rays(x):                     # [b, r_all, ...]
                 idx = sel.reshape((b, compact_k) + (1,) * (x.ndim - 2))
                 return jnp.take_along_axis(
                     x, jnp.broadcast_to(idx,
                                         (b, compact_k) + x.shape[2:]),
+                    axis=1)
+
+            def scatter_rays(x):       # [b, K, m, C] -> [b, r_all, m, C]
+                pad = jnp.zeros((b, r_all - compact_k) + x.shape[2:],
+                                x.dtype)
+                full = jnp.concatenate([x, pad], axis=1)
+                idx = inv.reshape(b, r_all, 1, 1)
+                return jnp.take_along_axis(
+                    full, jnp.broadcast_to(idx,
+                                           (b, r_all) + x.shape[2:]),
                     axis=1)
 
             wc_c = take_rays(worldcoord.reshape(b, r_all, s, 3))
@@ -324,41 +346,56 @@ class SceneDreamerGenerator(nn.Module):
             sigma_c, feat_cc = self.field_features(
                 wc_c, voxel_dims, global_enc, rd_c, z, mc_c,
                 **(field_extra or {}))
-            inv = jnp.argsort(order, axis=1)
-
-            def scatter_rays(x):                  # [b, K, s, C] -> full
-                pad = jnp.zeros((b, r_all - compact_k) + x.shape[2:],
-                                x.dtype)
-                full = jnp.concatenate([x, pad], axis=1)
-                idx = inv.reshape(b, r_all, 1, 1)
-                return jnp.take_along_axis(
-                    full, jnp.broadcast_to(idx, (b, r_all) + x.shape[2:]),
-                    axis=1)
-
+            if c.raw_noise_std > 0:
+                # note: the draw covers only the compacted rays, so it
+                # differs from the full path's (shape-keyed) draw;
+                # exactness claims assume raw_noise_std=0 (the shipped
+                # configs' value)
+                sigma_c = sigma_c + jax.random.normal(
+                    k_noise, sigma_c.shape,
+                    sigma_c.dtype) * c.raw_noise_std
+            dists_c = take_rays(new_dists.reshape(b, r_all, s, 1))
+            w_c = volume_rendering_relu(sigma_c,
+                                        dists_c * c.dists_scale, axis=-2)
+            keep_c = take_rays((~sky_only_mask).reshape(b, r_all, 1, 1))
+            w_c = w_c * keep_c.astype(w_c.dtype)
+            total_w_c = jnp.sum(w_c, axis=-2, keepdims=True)  # [b,K,1,1]
+            terr_c = jnp.sum(w_c * _clip_feat(feat_cc), axis=-2,
+                             keepdims=True)                   # [b,K,1,C]
+            # scatter back ONLY per-ray results (the [R,S,C] feature
+            # scatter measured -18% on the headline; terrain is
+            # composited in the compacted domain instead). Dropped
+            # rays are pure sky: their full-path weights/terrain are
+            # exactly zero, so zero-fill is exact.
+            weights = scatter_rays(w_c).reshape(b, h, w, s, 1)
             sigma = scatter_rays(sigma_c).reshape(b, h, w, s, 1)
-            feat_c = scatter_rays(feat_cc).reshape(
-                b, h, w, s, feat_cc.shape[-1])
+            total_w = scatter_rays(total_w_c).reshape(b, h, w, 1, 1)
+            terrain_sum = scatter_rays(terr_c).reshape(
+                b, h, w, 1, terr_c.shape[-1])
         else:
-            sigma, feat_c = self.field_features(worldcoord, voxel_dims,
-                                                global_enc, raydirs_in,
-                                                z, mc_onehot,
-                                                **(field_extra or {}))
-        if c.raw_noise_std > 0:
-            sigma = sigma + jax.random.normal(k_noise, sigma.shape,
-                                              sigma.dtype) * c.raw_noise_std
+            if sky_only:
+                # zeros in the model compute dtype so downstream
+                # promotion matches the full path bit-for-bit (AMP incl)
+                sigma = jnp.zeros((b, h, w, s, 1), c.dtype)
+                feat_c = jnp.zeros((b, h, w, s, c.final_feat_dim),
+                                   c.dtype)
+            else:
+                sigma, feat_c = self.field_features(
+                    worldcoord, voxel_dims, global_enc, raydirs_in,
+                    z, mc_onehot, **(field_extra or {}))
+            if c.raw_noise_std > 0:
+                sigma = sigma + jax.random.normal(
+                    k_noise, sigma.shape, sigma.dtype) * c.raw_noise_std
+            weights = volume_rendering_relu(
+                sigma, new_dists * c.dists_scale, axis=-2)
+            weights = weights * (~sky_only_mask[..., None]).astype(
+                weights.dtype).reshape(b, h, w, 1, 1)
+            total_w = jnp.sum(weights, axis=-2,
+                              keepdims=True)                  # [B,H,W,1,1]
+            terrain_sum = jnp.sum(weights * _clip_feat(feat_c),
+                                  axis=-2, keepdims=True)     # [B,H,W,1,C]
 
         sky_c = self.sky_color(raydirs, z)                   # [B,H,W,1,C]
-
-        weights = volume_rendering_relu(sigma,
-                                        new_dists * c.dists_scale, axis=-2)
-
-        # sky masks: last-slot empty = ray ends in sky; first-slot empty =
-        # pure sky ray (reference scenedreamer.py:334-337)
-        sky_mask = ~hit_mask[..., -1:]                        # [B,H,W,1]
-        sky_only_mask = ~hit_mask[..., :1]
-        weights = weights * (~sky_only_mask[..., None]).astype(
-            weights.dtype).reshape(b, h, w, 1, 1)
-        total_w = jnp.sum(weights, axis=-2, keepdims=True)    # [B,H,W,1,1]
 
         is_gnd = jnp.any(worldcoord[..., 0] <= 1.0, axis=-1,
                          keepdims=True)                       # [B,H,W,1]
@@ -387,17 +424,14 @@ class SceneDreamerGenerator(nn.Module):
                 sky_weight = sky_weight * (1.0 - nosky)
 
         if c.clip_feat_map is True:
-            rgbs = jnp.clip(feat_c, -1, 1) + 1
             rgbs_sky = jnp.clip(sky_c, -1, 1) + 1
-            net_out = (jnp.sum(weights * rgbs, axis=-2, keepdims=True)
+            net_out = (terrain_sum
                        + sky_weight * rgbs_sky).squeeze(-2) - 1.0
         elif c.clip_feat_map == 'tanh':
-            net_out = (jnp.sum(weights * jnp.tanh(feat_c), axis=-2,
-                               keepdims=True)
+            net_out = (terrain_sum
                        + sky_weight * jnp.tanh(sky_c)).squeeze(-2)
         else:
-            net_out = (jnp.sum(weights * feat_c, axis=-2, keepdims=True)
-                       + sky_weight * sky_c).squeeze(-2)
+            net_out = (terrain_sum + sky_weight * sky_c).squeeze(-2)
 
         return {
             'net_out': net_out,            # [B, H, W, C]
