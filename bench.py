@@ -274,6 +274,7 @@ def main():
             tiles = tiles[:MAX_TILES]
             _log(f'subset mode: {MAX_TILES} tiles')
         batches = [gan_batch(y, x) for (y, x) in tiles]
+        tile_ks = tile_ks[:len(batches)]
         # BENCH_FUSED=1: D+G as one executable (train_step_fused)
         # BENCH_SHARED=0: fall back to the two-forward train_step
         # (default is the single-forward train_step_shared — one G
@@ -288,20 +289,26 @@ def main():
         # host-fetch a scalar, NOT block_until_ready — the latter can
         # return early over the axon tunnel (CLAUDE.md timing note)
         for i in range(WARMUP_STEPS):
-            state, m = step_fn(state, batches[0], jax.random.PRNGKey(i))
-            float(m['gen/total'])
+            # warm every compact_k program variant
+            for ck in (sorted(set(tile_ks), key=str) if i == 0
+                       else [tile_ks[0]]):
+                state, m = step_fn(state, batches[0],
+                                   jax.random.PRNGKey(i), compact_k=ck)
+                float(m['gen/total'])
             _log(f'warmup {i} done')
         prof_dir = os.environ.get('BENCH_PROFILE', '')
         if prof_dir:
             with jax.profiler.trace(prof_dir):
                 state, m = step_fn(state, batches[0],
-                                   jax.random.PRNGKey(7))
+                                   jax.random.PRNGKey(7),
+                                   compact_k=tile_ks[0])
                 float(m['gen/total'])
             _log(f'profile of one D+G step written to {prof_dir}')
         t0 = time.perf_counter()
         for _ in range(TIMED_REPS):
-            for b in batches:
-                state, m = step_fn(state, b, jax.random.PRNGKey(9))
+            for b, ck in zip(batches, tile_ks):
+                state, m = step_fn(state, b, jax.random.PRNGKey(9),
+                                   compact_k=ck)
         float(m['gen/total'])
         dt = time.perf_counter() - t0
         if MAX_TILES:

@@ -107,10 +107,11 @@ class GANTrainer:
             optim.make_discriminator_optimizer(
                 iters_per_epoch=iters_per_epoch)
         self._iters_per_epoch = iters_per_epoch
-        self._dis_step_j = None
-        self._gen_step_j = None
-        self._fused_step_j = None
-        self._shared_step_j = None
+        # jit caches keyed by the static compact_k value
+        self._dis_step_j = {}
+        self._gen_step_j = {}
+        self._fused_step_j = {}
+        self._shared_step_j = {}
         # when set, discriminator inputs are constrained to batch-only
         # sharding (see `_constrain_dis_inputs`)
         self.mesh = mesh
@@ -166,9 +167,10 @@ class GANTrainer:
             d_opt=self.d_tx.init(d_params), g_ema=ema)
 
     # ------------------------------------------------------------------
-    def _gen_apply(self, g_params, batch, key):
+    def _gen_apply(self, g_params, batch, key, compact_k=None):
         return self.gen.apply({'params': g_params}, batch, self.voxel_dims,
-                              key, random_style=False)
+                              key, random_style=False,
+                              compact_k=compact_k)
 
     def _dis_apply(self, d_params, d_stats, batch, g_out, incl_real,
                    incl_pseudo_real, update_stats):
@@ -185,12 +187,19 @@ class GANTrainer:
         return out, d_stats
 
     # ------------------------------------------------------------------
-    def dis_step(self, state, batch, key):
+    def dis_step(self, state, batch, key, compact_k=None):
         """Discriminator update (`gancraft.py:206-251`), jit-compiled on
-        first call with the state donated (in-place buffer reuse)."""
-        if self._dis_step_j is None:
-            self._dis_step_j = jax.jit(self._dis_step, donate_argnums=0)
-        return self._dis_step_j(state, batch, key)
+        first call with the state donated (in-place buffer reuse).
+        `compact_k` (static): exact sky-ray compaction of the G
+        forward (generator.render_pixels docstring); one cached
+        executable per distinct value."""
+        ck = compact_k
+        import functools
+        if ck not in self._dis_step_j:
+            self._dis_step_j[ck] = jax.jit(
+                functools.partial(self._dis_step, compact_k=ck),
+                donate_argnums=0)
+        return self._dis_step_j[ck](state, batch, key)
 
     def _dis_loss(self, d_params, d_stats, d_batch, g_out):
         """D loss assembly (`gancraft.py:206-251`), shared by the GSPMD
@@ -255,13 +264,14 @@ class GANTrainer:
                              in_specs=in_specs, out_specs=P(),
                              check_vma=False)
 
-    def _dis_step(self, state, batch, key):
+    def _dis_step(self, state, batch, key, compact_k=None):
         if self._mesh_dp(batch):
             def per_group(d_params, ds_gp, batch, key):
                 d_stats, g_params = ds_gp
                 key = jax.random.fold_in(
                     key, jax.lax.axis_index('data'))
-                g_out = self._gen_apply(g_params, batch, key)
+                g_out = self._gen_apply(g_params, batch, key,
+                                        compact_k=compact_k)
                 g_out = jax.lax.stop_gradient(
                     {'fake_images': g_out['fake_images']})
                 (_, (m, new_stats)), grads = jax.value_and_grad(
@@ -274,7 +284,8 @@ class GANTrainer:
                               (state.d_stats, state.g_params),
                               batch, key)
         else:
-            g_out = self._gen_apply(state.g_params, batch, key)
+            g_out = self._gen_apply(state.g_params, batch, key,
+                                    compact_k=compact_k)
             g_out = jax.lax.stop_gradient(
                 {'fake_images': g_out['fake_images']})
             d_batch, g_out = self._constrain_dis_inputs(batch, g_out)
@@ -289,18 +300,23 @@ class GANTrainer:
                              d_stats=new_stats), metrics
 
     # ------------------------------------------------------------------
-    def gen_step(self, state, batch, key):
+    def gen_step(self, state, batch, key, compact_k=None):
         """Generator update (`gancraft.py:158-204`), jit-compiled on
         first call with the state donated."""
-        if self._gen_step_j is None:
-            self._gen_step_j = jax.jit(self._gen_step, donate_argnums=0)
-        return self._gen_step_j(state, batch, key)
+        import functools
+        ck = compact_k
+        if ck not in self._gen_step_j:
+            self._gen_step_j[ck] = jax.jit(
+                functools.partial(self._gen_step, compact_k=ck),
+                donate_argnums=0)
+        return self._gen_step_j[ck](state, batch, key)
 
     def _gen_loss(self, g_params, d_params, d_stats, batch, key,
-                  constrain=True):
+                  constrain=True, compact_k=None):
         """G loss assembly (`gancraft.py:158-204`), shared by the GSPMD
         and shard_map-DP paths."""
-        g_out = self._gen_apply(g_params, batch, key)
+        g_out = self._gen_apply(g_params, batch, key,
+                                compact_k=compact_k)
         return self._gen_loss_from_out(g_out, d_params, d_stats, batch,
                                        constrain=constrain)
 
@@ -358,7 +374,7 @@ class GANTrainer:
         m['gen/total'] = total
         return total, m
 
-    def _gen_step(self, state, batch, key):
+    def _gen_step(self, state, batch, key, compact_k=None):
         if self._mesh_dp(batch):
             def per_group(g_params, aux, batch, key):
                 d_params, d_stats = aux
@@ -367,7 +383,7 @@ class GANTrainer:
                 (_, m), grads = jax.value_and_grad(
                     self._gen_loss, has_aux=True)(
                         g_params, d_params, d_stats, batch, key,
-                        constrain=False)
+                        constrain=False, compact_k=compact_k)
                 return jax.lax.pmean((grads, m), 'data')
 
             grads, metrics = self._dp_shard_map(per_group, 1)(
@@ -377,7 +393,7 @@ class GANTrainer:
             (_, metrics), grads = jax.value_and_grad(
                 self._gen_loss, has_aux=True)(
                     state.g_params, state.d_params, state.d_stats,
-                    batch, key)
+                    batch, key, compact_k=compact_k)
         grads, ok, gnorm = _clip_and_validate(grads, self.cfg)
         metrics['gen/grad_norm'] = gnorm
         new_params, new_opt = _apply_update(state.g_params, state.g_opt,
@@ -391,27 +407,28 @@ class GANTrainer:
                              g_opt=new_opt, g_ema=ema), metrics
 
     # ------------------------------------------------------------------
-    def train_step(self, state, batch, key):
+    def train_step(self, state, batch, key, compact_k=None):
         """One full iteration: D update then G update
         (`train.py:135-142` interleave)."""
         kd, kg = jax.random.split(key)
-        state, dm = self.dis_step(state, batch, kd)
-        state, gm = self.gen_step(state, batch, kg)
+        state, dm = self.dis_step(state, batch, kd, compact_k=compact_k)
+        state, gm = self.gen_step(state, batch, kg, compact_k=compact_k)
         return state, {**dm, **gm}
 
     # ------------------------------------------------------------------
     # Single-forward iteration (r5): render the generator ONCE per
     # iteration and reuse the saved vjp residuals for the G backward.
     # ------------------------------------------------------------------
-    def _shared_fwd_outs(self, g_params, batch, key):
+    def _shared_fwd_outs(self, g_params, batch, key, compact_k=None):
         """Generator forward returning only the outputs that receive
         loss cotangents (fake image + style-VAE moments)."""
-        g_out = self._gen_apply(g_params, batch, key)
+        g_out = self._gen_apply(g_params, batch, key,
+                                compact_k=compact_k)
         return {'fake_images': g_out['fake_images'],
                 'mu': g_out['mu'], 'logvar': g_out['logvar']}
 
     def _shared_core(self, g_params, d_params, d_stats, d_opt, batch,
-                     key, dp):
+                     key, dp, compact_k=None):
         """One D update + G gradients from a single generator forward.
 
         `fake, g_vjp = jax.vjp(render, g_params)` → D update on
@@ -423,7 +440,9 @@ class GANTrainer:
         (new_d_params, new_d_opt, new_stats, g_grads, metrics), with
         grads/metrics already pmean'd over 'data' when `dp`."""
         outs, g_vjp = jax.vjp(
-            lambda gp: self._shared_fwd_outs(gp, batch, key), g_params)
+            lambda gp: self._shared_fwd_outs(gp, batch, key,
+                                             compact_k=compact_k),
+            g_params)
         g_sg = {'fake_images': jax.lax.stop_gradient(outs['fake_images'])}
         if dp:
             d_batch = batch
@@ -451,7 +470,7 @@ class GANTrainer:
             g_grads, gm = jax.lax.pmean((g_grads, gm), 'data')
         return new_d_params, new_d_opt, new_stats, g_grads, {**dm, **gm}
 
-    def _shared_step(self, state, batch, key):
+    def _shared_step(self, state, batch, key, compact_k=None):
         if self._mesh_dp(batch):
             def per_group(g_params, aux, batch, key):
                 d_params, d_stats, d_opt = aux
@@ -459,7 +478,7 @@ class GANTrainer:
                     key, jax.lax.axis_index('data'))
                 return self._shared_core(
                     g_params, d_params, d_stats, d_opt, batch, key,
-                    dp=True)
+                    dp=True, compact_k=compact_k)
 
             new_d_params, new_d_opt, new_stats, g_grads, metrics = \
                 self._dp_shard_map(per_group, 1)(
@@ -470,7 +489,8 @@ class GANTrainer:
             new_d_params, new_d_opt, new_stats, g_grads, metrics = \
                 self._shared_core(
                     state.g_params, state.d_params, state.d_stats,
-                    state.d_opt, batch, key, dp=False)
+                    state.d_opt, batch, key, dp=False,
+                    compact_k=compact_k)
         g_grads, ok, gnorm = _clip_and_validate(g_grads, self.cfg)
         metrics['gen/grad_norm'] = gnorm
         new_g_params, new_g_opt = _apply_update(
@@ -486,7 +506,7 @@ class GANTrainer:
             d_params=new_d_params, d_opt=new_d_opt,
             d_stats=new_stats), metrics
 
-    def train_step_shared(self, state, batch, key):
+    def train_step_shared(self, state, batch, key, compact_k=None):
         """One full iteration with a SINGLE generator forward (one XLA
         executable). Equivalent to calling `dis_step` then `gen_step`
         with the SAME render key (so both see the same fake) — tested
@@ -494,25 +514,31 @@ class GANTrainer:
         tests/test_train.py::test_shared_train_step_matches_two_forward.
         Eliminates the D-step's no-grad G forward (~20% of the full
         D+G step at flagship scale, r3 device profile)."""
-        if self._shared_step_j is None:
-            self._shared_step_j = jax.jit(self._shared_step,
-                                          donate_argnums=0)
-        return self._shared_step_j(state, batch, key)
+        import functools
+        ck = compact_k
+        if ck not in self._shared_step_j:
+            self._shared_step_j[ck] = jax.jit(
+                functools.partial(self._shared_step, compact_k=ck),
+                donate_argnums=0)
+        return self._shared_step_j[ck](state, batch, key)
 
-    def train_step_fused(self, state, batch, key):
+    def train_step_fused(self, state, batch, key, compact_k=None):
         """Same iteration as ONE executable: the D and G updates (the
         G update still sees the D params the D update just wrote)
         compile into a single XLA program — one dispatch instead of
         two per iteration, and the scheduler may overlap the D tail
         with the G head. Same math as `train_step` (tested)."""
-        if self._fused_step_j is None:
+        ck = compact_k
+        if ck not in self._fused_step_j:
             def fused(state, batch, key):
                 kd, kg = jax.random.split(key)
-                state, dm = self._dis_step(state, batch, kd)
-                state, gm = self._gen_step(state, batch, kg)
+                state, dm = self._dis_step(state, batch, kd,
+                                           compact_k=ck)
+                state, gm = self._gen_step(state, batch, kg,
+                                           compact_k=ck)
                 return state, {**dm, **gm}
-            self._fused_step_j = jax.jit(fused, donate_argnums=0)
-        return self._fused_step_j(state, batch, key)
+            self._fused_step_j[ck] = jax.jit(fused, donate_argnums=0)
+        return self._fused_step_j[ck](state, batch, key)
 
 
 # ---------------------------------------------------------------------------

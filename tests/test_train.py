@@ -300,3 +300,35 @@ def test_fused_train_step_matches_separate(train_batch):
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         jax.device_get(s1.g_params), jax.device_get(s2.g_params))
     assert max(jax.tree_util.tree_leaves(mx)) < 1e-5
+
+
+def test_train_step_compact_k_matches(train_batch):
+    """The trainer-level compact_k plumbing must reproduce the
+    uncompacted step exactly (metrics + params): per-tile sky-ray
+    compaction is a serving/bench knob, not a semantics change."""
+    world, data = train_batch
+    hm = np.asarray(data['hit_mask']).copy()
+    hm[:, :12, :, :] = False        # force a sky block to drop
+    data = dict(data)
+    data['hit_mask'] = jnp.asarray(hm)
+    r_all = hm.shape[1] * hm.shape[2]
+    n_hit = int(hm[..., 0].reshape(hm.shape[0], -1).sum(1).max())
+    k = n_hit + 3
+    assert k < r_all
+
+    gen = SceneDreamerGenerator(cfg=TINY)
+    dis = GANcraftDiscriminator(num_labels=NUM_LBL, num_filters=8)
+    trainer = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig())
+    s1 = trainer.init_state(jax.random.PRNGKey(0), data)
+    s2 = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, 'copy') else x, s1)
+    kk = jax.random.PRNGKey(3)
+    s1, m1 = trainer.train_step_shared(s1, data, kk)
+    s2, m2 = trainer.train_step_shared(s2, data, kk, compact_k=k)
+    for name in ('dis/total', 'gen/total', 'gen/grad_norm'):
+        np.testing.assert_allclose(float(m1[name]), float(m2[name]),
+                                   rtol=2e-4, atol=1e-6, err_msg=name)
+    mx = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(s1.g_params), jax.device_get(s2.g_params))
+    assert max(jax.tree_util.tree_leaves(mx)) < 3e-4
