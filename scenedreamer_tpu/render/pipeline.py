@@ -124,6 +124,13 @@ class TiledRenderer:
             split_refine = os.environ.get(
                 'SCENEDREAMER_SPLIT_REFINE', '1') == '1'
         self.split_refine = split_refine and mesh is None
+        # exact per-tile sky-ray compaction of the split-refine field
+        # (render_pixels compact_k): the per-frame flags fetch also
+        # carries per-tile hit-ray counts; counts bucket to quarter-
+        # tile granularity (<=3 extra executables). Partially-sky
+        # tiles then skip the field for their sky rays exactly.
+        self.field_compact = os.environ.get(
+            'SCENEDREAMER_FIELD_COMPACT', '1') == '1'
         self._refine_full = (self.cam_res[0] * self.cam_res[1]
                              <= int(os.environ.get(
                                  'SCENEDREAMER_REFINE_FULL_PX',
@@ -190,7 +197,8 @@ class TiledRenderer:
         self._hit_flags_fn = None
 
         def field_fn(params, voxel_id, depth, hit, raydirs, cam_ori, z,
-                     global_enc, sky_avg, key, sky_only=False):
+                     global_enc, sky_avg, key, sky_only=False,
+                     compact_k=None):
             """Per-ray field ONLY (no CNN, no crop) for one tile."""
             out = self.model.apply(
                 params, key, voxel_id, depth, hit, raydirs, cam_ori, z,
@@ -198,6 +206,7 @@ class TiledRenderer:
                 num_samples=self.num_samples,
                 sample_depth_clip=self.sample_depth,
                 deterministic=True, sky_avg=sky_avg, sky_only=sky_only,
+                compact_k=compact_k,
                 method=self.model.render_pixels)
             w = out['weights'][..., 0]
             t = out['rand_depth'][..., 0]
@@ -206,7 +215,9 @@ class TiledRenderer:
                                   jnp.sum(w * t, axis=-1)
                                   / jnp.maximum(tw, 1e-6), jnp.inf)
             return out['net_out'], depth_exp
-        self._field_fn = jax.jit(field_fn, static_argnames=('sky_only',))
+        self._field_fn = jax.jit(field_fn,
+                                 static_argnames=('sky_only',
+                                                  'compact_k'))
 
         # K field tiles per dispatch (split-refine): slice K tiles,
         # broadcast the per-frame operands, run the field at batch K,
@@ -416,19 +427,25 @@ class TiledRenderer:
                         jax.lax.dynamic_slice(rd, (0, y, x, 0),
                                               (1, s, s, 3)))
             self._slice_fn = jax.jit(slice_all)
-        flags = None
-        if self.sky_fast:
+        flags = counts = None
+        if self.sky_fast or self.field_compact:
             if self._field_flags_fn is None:
                 cs = list(coords)
 
-                def field_flags(hm):
+                def field_stats(hm):
+                    # per-tile count of rays with ANY hit: one [T]
+                    # int32 fetch carries both the sky flags
+                    # (count > 0) and the compaction buckets
                     return jnp.stack(
-                        [jnp.any(hm[0, y0:y0 + s, x0:x0 + s])
+                        [jnp.sum(jnp.any(hm[0, y0:y0 + s, x0:x0 + s],
+                                         axis=-1).astype(jnp.int32))
                          for (y0, x0) in cs])
-                self._field_flags_fn = jax.jit(field_flags)
-            # ONE [T]-bool fetch routes pure-sky tiles to the
+                self._field_flags_fn = jax.jit(field_stats)
+            # ONE [T]-int fetch routes pure-sky tiles to the
             # field-skipping executable (bit-exact, see render_pixels)
-            flags = np.asarray(self._field_flags_fn(hit))
+            # and buckets partially-sky tiles for exact compaction
+            counts = np.asarray(self._field_flags_fn(hit))
+            flags = counts > 0 if self.sky_fast else None
             self._last_hit_flags = flags
         tpb = self.field_tiles_per_batch
         if tpb > 1:
@@ -464,14 +481,21 @@ class TiledRenderer:
                     depth_parts.append((grp, dt))
         else:
             tiles = []
+            gran = max(1, (s * s) // 4)     # quarter-tile buckets
             for i, (y0, x0) in enumerate(coords):
                 sky_only = bool(flags is not None and not flags[i])
+                ck = None
+                if (self.field_compact and counts is not None
+                        and not sky_only):
+                    k = -(-int(counts[i]) // gran) * gran
+                    ck = k if k < s * s else None
                 tv, td, th, tr = self._slice_fn(vid, dep, hit, raydirs,
                                                 jnp.int32(y0),
                                                 jnp.int32(x0))
                 nt, dt = self._field_fn(self.params, tv, td, th, tr,
                                         cam_ori, z, self.global_enc,
-                                        sky_avg, key, sky_only=sky_only)
+                                        sky_avg, key, sky_only=sky_only,
+                                        compact_k=ck)
                 tiles.append((y0, x0, nt, dt))
             c = tiles[0][2].shape[-1]
             full = jnp.zeros((1, h, w, c), tiles[0][2].dtype)

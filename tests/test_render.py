@@ -307,3 +307,33 @@ def test_split_refine_grouped_dispatch_exact(model_world):
     np.testing.assert_allclose(
         np.nan_to_num(aux_1['depth'], posinf=1e9),
         np.nan_to_num(aux_3['depth'], posinf=1e9), rtol=1e-6)
+
+
+def test_split_refine_field_compact_exact(model_world, monkeypatch):
+    """Split-refine with per-tile field compaction
+    (SCENEDREAMER_FIELD_COMPACT) must reproduce the uncompacted frame
+    and depth exactly: the dropped rays are pure sky (zero weights,
+    sky color from the sky MLP in both paths)."""
+    model, params, world = model_world
+    style = jax.random.normal(jax.random.PRNGKey(9),
+                              (1, TINY.style_dims))
+    # sky-heavy pose: low camera pitched up -> partially-sky tiles
+    pose = (np.array([world.dims[0] * 0.5, 10.0, 10.0], np.float32),
+            np.array([0.9, 0.3, 0.3], np.float32),
+            np.array([1.0, 0.0, 0.0], np.float32),
+            0.5 / np.tan(np.deg2rad(20.0)))
+    kwargs = dict(num_samples=6, num_blocks_early_stop=4, pad=6,
+                  resolution_hw=(32, 48), fov=40.0)
+    monkeypatch.setenv('SCENEDREAMER_FIELD_COMPACT', '0')
+    r_off = TiledRenderer(model, params, world, tile_size=16, **kwargs)
+    monkeypatch.setenv('SCENEDREAMER_FIELD_COMPACT', '1')
+    r_on = TiledRenderer(model, params, world, tile_size=16, **kwargs)
+    assert r_on.field_compact and not r_off.field_compact
+    z = r_on.style_z(style)
+    img_off, aux_off = r_off.frame(pose, z, return_aux=True)
+    img_on, aux_on = r_on.frame(pose, z, return_aux=True)
+    np.testing.assert_array_equal(np.asarray(img_on),
+                                  np.asarray(img_off))
+    np.testing.assert_array_equal(
+        np.nan_to_num(np.asarray(aux_on['depth']), posinf=1e9),
+        np.nan_to_num(np.asarray(aux_off['depth']), posinf=1e9))
