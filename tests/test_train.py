@@ -332,3 +332,26 @@ def test_train_step_compact_k_matches(train_batch):
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         jax.device_get(s1.g_params), jax.device_get(s2.g_params))
     assert max(jax.tree_util.tree_leaves(mx)) < 3e-4
+
+
+def test_bf16_amp_shared_step(train_batch):
+    """The single-forward step must stay finite and move params under
+    bf16 module compute (the amp_config analog) too."""
+    import dataclasses
+    world, data = train_batch
+    gen = SceneDreamerGenerator(
+        cfg=dataclasses.replace(TINY, dtype=jnp.bfloat16))
+    dis = GANcraftDiscriminator(num_labels=NUM_LBL, num_filters=8,
+                                dtype=jnp.bfloat16)
+    trainer = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig(),
+                         perceptual=None, iters_per_epoch=10)
+    state = trainer.init_state(jax.random.PRNGKey(0), data)
+    g0 = jax.device_get(state.g_params)
+    state, metrics = trainer.train_step_shared(state, data,
+                                               jax.random.PRNGKey(1))
+    for k in ('dis/total', 'gen/total', 'gen/l2', 'gen/kl'):
+        assert np.isfinite(float(metrics[k])), k
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(a - b).max()), g0,
+        jax.device_get(state.g_params))
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
