@@ -133,12 +133,30 @@ def build_everything(cfg, args):
                                / float(ema_cfg['g_smooth_img']))
         else:
             ema_beta = float(ema_cfg.get('beta', 0.9999))
+    # grad clip/skip (reference `gen_opt.clip_grad_norm` +
+    # `gen_opt.skip_grad`, `trainers/base.py:701-721`): trainer.*
+    # keys take precedence, gen_opt.* accepted for reference-yaml
+    # compatibility
+    tcfg = cfg.get('trainer', {})
+    gocfg = cfg.get('gen_opt', {})
+    clip = float(tcfg.get('grad_clip_norm',
+                          gocfg.get('clip_grad_norm', 0.0) or 0.0)
+                 if not gocfg.get('skip_grad', False) else 0.0)
+    skip_norm = float(tcfg.get(
+        'skip_grad_norm',
+        (gocfg.get('clip_grad_norm', 0.0) or 0.0)
+        if gocfg.get('skip_grad', False) else 0.0))
     trainer = GANTrainer(
         generator, discriminator, voxel_dims=None,  # set per world
         cfg=TrainerConfig(
             loss_weights=lw,
+            grad_clip_norm=clip,
+            skip_grad_norm=skip_norm,
             ema_beta=ema_beta),
         perceptual=perceptual, iters_per_epoch=max(len(loader), 1))
+    if clip or skip_norm:
+        print(f'[train] grad guard: clip_norm={clip} '
+              f'skip_norm={skip_norm}')
     return (generator, discriminator, loader, world_cache, builder,
             trainer, gcfg)
 

@@ -55,6 +55,12 @@ class TrainerConfig:
     use_feature_matching: bool = struct.field(pytree_node=False,
                                               default=False)
     grad_clip_norm: float = struct.field(pytree_node=False, default=0.0)
+    # skip (not clip) any update whose global grad norm exceeds this —
+    # the reference's `gen_opt.skip_grad` (`trainers/base.py:713-717`).
+    # Catches FINITE explosions the nonfinite guard cannot (a style-VAE
+    # logvar overflow produced a finite 3.3e7 G grad norm and NaN-locked
+    # the r5 campaign at iter ~1350); 0 disables.
+    skip_grad_norm: float = struct.field(pytree_node=False, default=0.0)
     skip_nonfinite_grads: bool = struct.field(pytree_node=False,
                                               default=True)
     ema_beta: float = struct.field(pytree_node=False, default=0.0)
@@ -68,6 +74,8 @@ def _clip_and_validate(grads, cfg):
         scale = jnp.minimum(1.0, cfg.grad_clip_norm / (gnorm + 1e-6))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
     ok = jnp.isfinite(gnorm)
+    if cfg.skip_grad_norm > 0:
+        ok = ok & (gnorm <= cfg.skip_grad_norm)
     if cfg.skip_nonfinite_grads:
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)

@@ -355,3 +355,23 @@ def test_bf16_amp_shared_step(train_batch):
         lambda a, b: float(np.abs(a - b).max()), g0,
         jax.device_get(state.g_params))
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_skip_grad_norm_guards_finite_explosions():
+    """skip_grad_norm (the reference gen_opt.skip_grad analog,
+    trainers/base.py:713-717) must skip updates whose global grad norm
+    is FINITE but above the threshold — the nonfinite guard alone let
+    a finite 3.3e7-norm step through (r5 campaign NaN-lock)."""
+    from scenedreamer_tpu.train.trainer import (TrainerConfig,
+                                                _clip_and_validate)
+    big = {'w': jnp.full((4,), 1e6)}
+    small = {'w': jnp.full((4,), 1.0)}
+    cfg = TrainerConfig(skip_grad_norm=100.0)
+    g, ok, gnorm = _clip_and_validate(big, cfg)
+    assert np.isfinite(float(gnorm)) and not bool(ok)
+    assert float(jnp.abs(g['w']).max()) == 0.0      # zeroed
+    g, ok, _ = _clip_and_validate(small, cfg)
+    assert bool(ok) and float(g['w'][0]) == 1.0
+    # disabled by default
+    g, ok, _ = _clip_and_validate(big, TrainerConfig())
+    assert bool(ok)
