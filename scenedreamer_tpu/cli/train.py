@@ -146,14 +146,26 @@ def build_everything(cfg, args):
         'skip_grad_norm',
         (gocfg.get('clip_grad_norm', 0.0) or 0.0)
         if gocfg.get('skip_grad', False) else 0.0))
+    # optimizer LRs/schedules from yaml (`dis_opt.lr` etc,
+    # `scenedreamer_train.yaml:36-73`; previously only the built-in
+    # reference defaults were used)
+    do = cfg.get('dis_opt', {})
+    d_tx = optim.make_discriminator_optimizer(
+        lr=float(do.get('lr', optim.DIS_LR)),
+        lr_policy=dict(do['lr_policy']) if do.get('lr_policy') else None,
+        iters_per_epoch=max(len(loader), 1))
     trainer = GANTrainer(
         generator, discriminator, voxel_dims=None,  # set per world
         cfg=TrainerConfig(
             loss_weights=lw,
             grad_clip_norm=clip,
             skip_grad_norm=skip_norm,
+            aug_policy=str(tcfg.get('aug_policy', '') or ''),
             ema_beta=ema_beta),
-        perceptual=perceptual, iters_per_epoch=max(len(loader), 1))
+        perceptual=perceptual, d_tx=d_tx,
+        iters_per_epoch=max(len(loader), 1))
+    if float(do.get('lr', optim.DIS_LR)) != optim.DIS_LR:
+        print(f"[train] dis lr override: {do.get('lr')}")
     if clip or skip_norm:
         print(f'[train] grad guard: clip_norm={clip} '
               f'skip_norm={skip_norm}')

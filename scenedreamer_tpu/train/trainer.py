@@ -64,6 +64,15 @@ class TrainerConfig:
     skip_nonfinite_grads: bool = struct.field(pytree_node=False,
                                               default=True)
     ema_beta: float = struct.field(pytree_node=False, default=0.0)
+    # DiffAugment policy for D inputs (reference `trainer.aug_policy`,
+    # `trainers/base.py:87-88` + `utils/diff_aug.py:14-142`): comma
+    # subset of {color, translation, cutout} applied to the image
+    # tensors (fake/real/pseudo-real) before every D evaluation, fresh
+    # draws per call, in BOTH the D and G updates. 'color' is
+    # mask-alignment-safe for the conditional FPSE D; geometric
+    # policies augment only the images (label maps pass through, as in
+    # the reference). '' = off (the shipped default, config.py:123).
+    aug_policy: str = struct.field(pytree_node=False, default='')
 
 
 def _clip_and_validate(grads, cfg):
@@ -154,6 +163,25 @@ class GANTrainer:
         return batch, g_out
 
     # ------------------------------------------------------------------
+    def _augment_dis_inputs(self, d_batch, g_out, key):
+        """DiffAugment on the D's image inputs (TrainerConfig
+        .aug_policy; reference `trainers/base.py:87-88` +
+        `utils/diff_aug.py:14-142`). Label masks pass through."""
+        if not self.cfg.aug_policy or key is None:
+            return d_batch, g_out
+        from scenedreamer_tpu.utils.diff_aug import apply_diff_aug
+        ks = jax.random.split(key, 3)
+        d_batch = dict(d_batch)
+        for i, name in enumerate(('images', 'pseudo_real_img')):
+            if name in d_batch:
+                d_batch[name] = apply_diff_aug(
+                    d_batch[name], ks[i], self.cfg.aug_policy)
+        g_out = {**g_out,
+                 'fake_images': apply_diff_aug(
+                     g_out['fake_images'], ks[2], self.cfg.aug_policy)}
+        return d_batch, g_out
+
+    # ------------------------------------------------------------------
     def init_state(self, key, sample_batch):
         kg, kd = jax.random.split(key)
         g_vars = self.gen.init({'params': kg}, sample_batch,
@@ -209,9 +237,12 @@ class GANTrainer:
                 donate_argnums=0)
         return self._dis_step_j[ck](state, batch, key)
 
-    def _dis_loss(self, d_params, d_stats, d_batch, g_out):
+    def _dis_loss(self, d_params, d_stats, d_batch, g_out,
+                  aug_key=None):
         """D loss assembly (`gancraft.py:206-251`), shared by the GSPMD
         and shard_map-DP paths."""
+        d_batch, g_out = self._augment_dis_inputs(d_batch, g_out,
+                                                  aug_key)
         w = self.cfg.loss_weights
         d_out, new_stats = self._dis_apply(
             d_params, d_stats, d_batch, g_out,
@@ -284,7 +315,8 @@ class GANTrainer:
                     {'fake_images': g_out['fake_images']})
                 (_, (m, new_stats)), grads = jax.value_and_grad(
                     self._dis_loss, has_aux=True)(
-                        d_params, d_stats, batch, g_out)
+                        d_params, d_stats, batch, g_out,
+                        jax.random.fold_in(key, 101))
                 return jax.lax.pmean((grads, m, new_stats), 'data')
 
             grads, metrics, new_stats = self._dp_shard_map(
@@ -299,7 +331,8 @@ class GANTrainer:
             d_batch, g_out = self._constrain_dis_inputs(batch, g_out)
             (_, (metrics, new_stats)), grads = jax.value_and_grad(
                 self._dis_loss, has_aux=True)(
-                    state.d_params, state.d_stats, d_batch, g_out)
+                    state.d_params, state.d_stats, d_batch, g_out,
+                    jax.random.fold_in(key, 101))
         grads, ok, gnorm = _clip_and_validate(grads, self.cfg)
         metrics['dis/grad_norm'] = gnorm
         new_params, new_opt = _apply_update(state.d_params, state.d_opt,
@@ -326,10 +359,12 @@ class GANTrainer:
         g_out = self._gen_apply(g_params, batch, key,
                                 compact_k=compact_k)
         return self._gen_loss_from_out(g_out, d_params, d_stats, batch,
-                                       constrain=constrain)
+                                       constrain=constrain,
+                                       aug_key=jax.random.fold_in(
+                                           key, 102))
 
     def _gen_loss_from_out(self, g_out, d_params, d_stats, batch,
-                           constrain=True):
+                           constrain=True, aug_key=None):
         """G loss given precomputed generator outputs — the tail shared
         by `_gen_loss` and the single-forward `train_step_shared`."""
         w = self.cfg.loss_weights
@@ -342,6 +377,8 @@ class GANTrainer:
                                                               g_out)
             else:
                 d_batch, g_out_c = batch, g_out
+            d_batch, g_out_c = self._augment_dis_inputs(
+                d_batch, g_out_c, aug_key)
             d_out, _ = self._dis_apply(
                 d_params, d_stats, d_batch, g_out_c,
                 incl_real=False, incl_pseudo_real=incl_preal,
@@ -458,7 +495,8 @@ class GANTrainer:
             d_batch, g_sg = self._constrain_dis_inputs(batch, g_sg)
         (_, (dm, new_stats)), d_grads = jax.value_and_grad(
             self._dis_loss, has_aux=True)(
-                d_params, d_stats, d_batch, g_sg)
+                d_params, d_stats, d_batch, g_sg,
+                jax.random.fold_in(key, 101))
         if dp:
             d_grads, dm, new_stats = jax.lax.pmean(
                 (d_grads, dm, new_stats), 'data')
@@ -469,7 +507,9 @@ class GANTrainer:
 
         def g_tail(outs):
             return self._gen_loss_from_out(
-                outs, new_d_params, new_stats, batch, constrain=not dp)
+                outs, new_d_params, new_stats, batch,
+                constrain=not dp,
+                aug_key=jax.random.fold_in(key, 102))
 
         (_, gm), outs_cot = jax.value_and_grad(
             g_tail, has_aux=True)(outs)

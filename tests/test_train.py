@@ -375,3 +375,46 @@ def test_skip_grad_norm_guards_finite_explosions():
     # disabled by default
     g, ok, _ = _clip_and_validate(big, TrainerConfig())
     assert bool(ok)
+
+
+def test_diff_aug_policy_wired_and_consistent(train_batch):
+    """aug_policy (DiffAugment on D inputs, reference
+    trainers/base.py:87-88) must (a) actually change the D-side losses
+    and (b) keep the single-forward step equal to the two-forward
+    alternation under the same key (aug keys are derived
+    deterministically from the step key in both paths)."""
+    world, data = train_batch
+    gen = SceneDreamerGenerator(cfg=TINY)
+    dis = GANcraftDiscriminator(num_labels=NUM_LBL, num_filters=8)
+    t_aug = GANTrainer(gen, dis, world.dims,
+                       cfg=TrainerConfig(aug_policy='color'))
+    t_off = GANTrainer(gen, dis, world.dims, cfg=TrainerConfig())
+    k = jax.random.PRNGKey(3)
+    s0 = t_aug.init_state(jax.random.PRNGKey(0), data)
+    s_base = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, 'copy') else x, s0)
+
+    # (a) augmentation changes the D objective
+    _, m_aug = t_aug.dis_step(s0, data, k)
+    s1 = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, 'copy') else x, s_base)
+    _, m_off = t_off.dis_step(s1, data, k)
+    assert abs(float(m_aug['dis/total'])
+               - float(m_off['dis/total'])) > 1e-6
+
+    # (b) shared == two-forward with aug on
+    sa = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, 'copy') else x, s_base)
+    sb = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, 'copy') else x, s_base)
+    sa, dm = t_aug.dis_step(sa, data, k)
+    sa, gm = t_aug.gen_step(sa, data, k)
+    sb, m2 = t_aug.train_step_shared(sb, data, k)
+    m1 = {**dm, **gm}
+    for kk in ('dis/total', 'gen/total', 'gen/gan'):
+        np.testing.assert_allclose(float(m1[kk]), float(m2[kk]),
+                                   rtol=1e-5, atol=1e-6, err_msg=kk)
+    mx = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(sa.g_params), jax.device_get(sb.g_params))
+    assert max(jax.tree_util.tree_leaves(mx)) < 1e-5
