@@ -183,3 +183,34 @@ def test_conv2dblock_weight_norm():
     m_bad = Conv2dBlock(4, weight_norm_type='nope')
     with pytest.raises(ValueError):
         m_bad.init(jax.random.PRNGKey(0), x)
+
+
+def test_style_encoder_logvar_clamp():
+    """logvar_clamp bounds fc_var's output (runaway guard, r5): inert
+    for healthy magnitudes, active beyond the bound, and the clamp
+    kills the outward gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from scenedreamer_tpu.models.layers import StyleEncoder
+
+    enc = StyleEncoder(style_dims=8, num_filters=4, logvar_clamp=10.0)
+    x = jnp.ones((1, 64, 64, 3))
+    v = enc.init({'params': jax.random.PRNGKey(0),
+                  'style': jax.random.PRNGKey(1)}, x)
+    mu, logvar, z = enc.apply(v, x, rngs={'style': jax.random.PRNGKey(2)})
+    assert float(jnp.abs(logvar).max()) <= 10.0
+    # blow up fc_var's bias -> clamp engages, grads outward are zero
+    big = jax.tree_util.tree_map(lambda a: a, v)
+    big['params']['fc_var']['bias'] = jnp.full_like(
+        big['params']['fc_var']['bias'], 1e4)
+
+    def kl(params):
+        mu, lv, _ = enc.apply(params, x,
+                              rngs={'style': jax.random.PRNGKey(2)})
+        return jnp.sum(-0.5 * (1 + lv - mu ** 2 - jnp.exp(lv)))
+
+    val = float(kl(big))
+    assert np.isfinite(val)            # e^10, not e^1e4
+    g = jax.grad(kl)(big)
+    assert float(jnp.abs(g['params']['fc_var']['bias']).max()) == 0.0
