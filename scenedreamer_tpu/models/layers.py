@@ -318,16 +318,20 @@ class StyleEncoder(nn.Module):
     num_filters: int = 64
     kernel_size: int = 3
     no_vae: bool = False
-    # |logvar| bound. The healthy regime is logvar ~ 0 +- 2, so +-10 is
-    # semantically inert — it exists because Adam is scale-invariant: a
-    # loss-flat runaway direction in fc_var (z is re-normalized by
-    # StyleMLP, so the GAN/L2 terms cannot see |z|) drifts at the same
-    # per-step rate the exploding KL gradient pushes back, and the r5
-    # campaign walked logvar into e^logvar overflow twice. Clipping
-    # removes the outward gradient beyond the bound while the KL pull
-    # inside the bound stays intact. 0 disables (exact reference form,
-    # gancraft_base.py:287-293).
-    logvar_clamp: float = 10.0
+    # Upper logvar bound (lower is fixed at -10). The healthy regime is
+    # logvar ~ 0 +- 2, so +4 is inert there; it exists because Adam is
+    # scale-invariant: a loss-flat runaway direction in fc_var (z is
+    # re-normalized by StyleMLP, so the GAN/L2 terms cannot see |z|)
+    # drifts as fast as the exploding KL gradient pushes back, and the
+    # r5 campaign walked logvar into e^logvar overflow twice; a looser
+    # +10 bound then deadlocked against skip_grad_norm (KL grads ~2e5
+    # skip every update, so the pinned dims never recover). At +4 the
+    # worst-case KL term AND its gradient stay small enough that
+    # updates keep applying and the inward pull keeps fighting.
+    # Asymmetric on purpose: very negative logvar (sharp posterior) is
+    # legitimate VAE convergence and risks no overflow. 0 disables
+    # (exact reference form, gancraft_base.py:287-293).
+    logvar_clamp: float = 4.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -353,8 +357,7 @@ class StyleEncoder(nn.Module):
             return mu, jnp.zeros_like(mu), mu
         logvar = Dense(self.style_dims, name='fc_var')(x)
         if self.logvar_clamp > 0:
-            logvar = jnp.clip(logvar, -self.logvar_clamp,
-                              self.logvar_clamp)
+            logvar = jnp.clip(logvar, -10.0, self.logvar_clamp)
         std = jnp.exp(0.5 * logvar)
         if rng is None:
             rng = self.make_rng('style')

@@ -194,12 +194,12 @@ def test_style_encoder_logvar_clamp():
     import numpy as np
     from scenedreamer_tpu.models.layers import StyleEncoder
 
-    enc = StyleEncoder(style_dims=8, num_filters=4, logvar_clamp=10.0)
+    enc = StyleEncoder(style_dims=8, num_filters=4, logvar_clamp=4.0)
     x = jnp.ones((1, 64, 64, 3))
     v = enc.init({'params': jax.random.PRNGKey(0),
                   'style': jax.random.PRNGKey(1)}, x)
     mu, logvar, z = enc.apply(v, x, rngs={'style': jax.random.PRNGKey(2)})
-    assert float(jnp.abs(logvar).max()) <= 10.0
+    assert float(logvar.max()) <= 4.0 and float(logvar.min()) >= -10.0
     # blow up fc_var's bias -> clamp engages, grads outward are zero
     big = jax.tree_util.tree_map(lambda a: a, v)
     big['params']['fc_var']['bias'] = jnp.full_like(
@@ -211,6 +211,6 @@ def test_style_encoder_logvar_clamp():
         return jnp.sum(-0.5 * (1 + lv - mu ** 2 - jnp.exp(lv)))
 
     val = float(kl(big))
-    assert np.isfinite(val)            # e^10, not e^1e4
+    assert np.isfinite(val) and val < 1e4   # e^4-bounded, not e^1e4
     g = jax.grad(kl)(big)
     assert float(jnp.abs(g['params']['fc_var']['bias']).max()) == 0.0
